@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query on /root/testdata/sf0.001 (top duplicate-
+                 content entities from the full blocking->scoring->clustering
+                 pipeline over the documents record table).
+queries()      — one callable per implemented operator (SURVEY.md section 2).
+oracle_sql()   — DuckDB twins for every SQL-expressible query; UDF-backed
+                 queries (pandas-UDF embeddings, LSH ANN, mapInPandas
+                 multimodal) are rows-only checked by design.
 """
 
 from __future__ import annotations
@@ -13,26 +15,58 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bela_spark import oracles as _oracles
+from bela_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q.er_flagship_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ER pipeline (blocking -> pairs -> scoring -> clustering)
+        "er_exact_dedup": _q.er_exact_dedup,
+        "er_blocking_prefix": _q.er_blocking_prefix,
+        "er_minhash_signatures": _q.er_minhash_signatures,
+        "er_lsh_band_keys": _q.er_lsh_band_keys,
+        "er_candidate_pairs": _q.er_candidate_pairs,
+        "er_scored_pairs": _q.er_scored_pairs,
+        "er_edges": _q.er_edges,
+        "er_clusters": _q.er_clusters,
+        "er_flagship_clusters": _q.er_flagship_clusters,
+        "er_threshold_grid": _q.er_threshold_grid,
+        # dedup extensions
+        "dedup_simhash": _q.dedup_simhash,
+        "dedup_simhash_pairs": _q.dedup_simhash_pairs,
+        "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
+        "dedup_embedding_neardup": _q.dedup_embedding_neardup,
+        # ANN / retrieval
+        "ann_topk": _q.ann_topk,
+        "ann_recall_at_k": _q.ann_recall_at_k,
+        "ann_mrr": _q.ann_mrr,
+        "ann_lsh_topk": _q.ann_lsh_topk,
+        # EL query surface
+        "el_windows": _q.el_windows,
+        "el_interval_merge": _q.el_interval_merge,
+        "el_span_f1": _q.el_span_f1,
+        "el_boe_f1": _q.el_boe_f1,
+        # text analysis
+        "text_token_stats": _q.text_token_stats,
+        "text_quality": _q.text_quality,
+        "text_langid": _q.text_langid,
+        "text_fingerprint": _q.text_fingerprint,
+        "text_topk_tokens": _q.text_topk_tokens,
+        "catalogue_index": _q.catalogue_index,
+        # general analytics
+        "tpch_pricing_summary": _q.tpch_pricing_summary,
+        "tpch_top_customers": _q.tpch_top_customers,
+        # UDF-backed (rows-only checks)
+        "embed_documents": _q.embed_documents,
+        "multimodal_features": _q.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracles.oracle_sql()

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (SURVEY.md J1/J2/W2, A3/A4).
+
+The reference's FAISS GpuIndexFlatIP top-k search (bela/task/joint_el_task.py:
+513-523, 596-603) becomes:
+  - brute-force cosine/IP top-k: broadcast the (dimension-sized) catalog side,
+    dot product JVM-side, window rank <= k — the exactness baseline;
+  - LSH-bucketed top-k: deterministic random-hyperplane sign buckets bound the
+    pair space (multi-table probing for recall), then the same rank <= k —
+    the 100TB path, where no executor ever sees the full catalog.
+
+Recall@k and MRR aggregations mirror bela/task/joint_el_task.py:1006-1018 and
+mblink/task/blink_task.py:329-338.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from bela_spark.functions.vectors import dot_product
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    catalog: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """(vec_id, neighbor_id, ip_score, rank): exact inner-product top-k.
+
+    Ties broken by neighbor id so the result is total-ordered (the driver
+    oracle and this plan must agree on every rank).
+    """
+    q = queries.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe"))
+    c = catalog.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce"))
+    if broadcast_catalog:
+        c = F.broadcast(c)
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("ip_score", dot_product("qe", "ce")).drop("qe", "ce")
+    w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — same on every
+    executor/run, no RNG state shipped."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:plane:{p}:{d}".encode()).digest()[:8], "big"
+            )
+            row.append((h / 2**63) - 1.0)  # ~uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_keys(
+    embedded: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, key): sign-pattern bucket per hash table (random hyperplane LSH).
+
+    n_tables independent tables = multi-probe OR construction for recall.
+    The planes are literal arrays in the plan — broadcast for free, evaluated
+    by zip_with/aggregate inside codegen, no UDF.
+    """
+    out = None
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        bits = [
+            F.when(dot_product(F.col(emb_col), F.array(*[F.lit(v) for v in p])) >= 0, "1").otherwise("0")
+            for p in planes
+        ]
+        keys = embedded.select(
+            F.col(id_col),
+            F.concat(F.lit(f"t{t}:"), *bits).alias("key"),
+        )
+        out = keys if out is None else out.unionByName(keys)
+    return out
+
+
+def lsh_topk(
+    embedded: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from shared LSH buckets, exact rerank."""
+    keys = lsh_bucket_keys(embedded, n_planes, n_tables, dim, seed, id_col, emb_col)
+    e = embedded.select(F.col(id_col), F.col(emb_col))
+    cand = (
+        keys.withColumnRenamed(id_col, "vec_id")
+        .join(keys.withColumnRenamed(id_col, "neighbor_id"), "key")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    j = (
+        cand.join(e.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")), "vec_id")
+        .join(e.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")), "neighbor_id")
+        .withColumn("ip_score", dot_product("qe", "ce"))
+        .drop("qe", "ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_at_k(topk: DataFrame, labels: DataFrame, ks: tuple[int, ...] = (1, 5, 10)) -> DataFrame:
+    """One row: recall@k for each k — fraction of queries whose top-k contains
+    a same-label neighbor (A3 analogue, joint_el_task.py:1006-1018)."""
+    lab = labels.select(F.col("vec_id"), F.col("label"))
+    j = (
+        topk.join(lab, "vec_id")
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel"),
+            "neighbor_id",
+        )
+        .withColumn("hit", (F.col("label") == F.col("nlabel")).cast("int"))
+    )
+    per_query = j.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("rank") <= kk, F.col("hit")).otherwise(0)).alias(f"hit_{kk}")
+            for kk in ks
+        ]
+    )
+    return per_query.agg(
+        *[F.avg(f"hit_{kk}").alias(f"recall_at_{kk}") for kk in ks],
+        F.count("*").alias("n_queries"),
+    )
+
+
+def mrr(topk: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (mrr, mean_rank): reciprocal rank of the first same-label
+    neighbor (A4 analogue, mblink/task/blink_task.py:329-338). Queries with no
+    same-label neighbor in the top-k are excluded (reference semantics: rank
+    computed over retrieved candidates)."""
+    lab = labels.select(F.col("vec_id"), F.col("label"))
+    j = (
+        topk.join(lab, "vec_id")
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel"),
+            "neighbor_id",
+        )
+        .filter(F.col("label") == F.col("nlabel"))
+        .groupBy("vec_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return j.agg(
+        F.avg(1.0 / F.col("first_rank")).alias("mrr"),
+        F.avg(F.col("first_rank").cast("double")).alias("mean_rank"),
+        F.count("*").alias("n_queries"),
+    )

@@ -1,0 +1,151 @@
+"""Deduplication operators over a document table (SURVEY.md SET family +
+training-data-pipeline extensions): exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All take a records DataFrame carrying (rid/doc_id, norm, tokens) as produced
+by operators.blocking.with_record_columns and return plain DataFrames; every
+shape is an explode/groupBy/join Catalyst can push down and re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from bela_spark.config import LinkageConfig
+from bela_spark.functions.hashing import band_keys, hamming32, minhash_wide, simhash32
+from bela_spark.functions.text import shingles_of
+from bela_spark.functions.vectors import cosine_sim
+
+
+def exact_duplicates(df: DataFrame, content_col: str = "content", id_col: str = "rid") -> DataFrame:
+    """Hash-groupBy exact dedup: (content_sha, n_dups, keeper).
+
+    Keeper = min id (deterministic). One shuffle on the 256-bit content hash —
+    uniformly distributed, no skew by construction.
+    """
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+    )
+
+
+def minhash_lsh_pairs(
+    records: DataFrame, cfg: LinkageConfig, id_col: str = "rid"
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding: (id1, id2) distinct."""
+    sh = records.select(id_col, shingles_of("tokens", cfg.shingle_k).alias("shingles"))
+    wide = minhash_wide(sh, id_col=id_col, num_hashes=cfg.num_minhashes)
+    bk = band_keys(wide, id_col=id_col, num_hashes=cfg.num_minhashes, band_size=cfg.band_size)
+    keys = bk.select(id_col, F.concat_ws(":", "band", "band_key").alias("key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(records: DataFrame, id_col: str = "rid") -> DataFrame:
+    """(id, simhash) 32-bit fingerprints, JVM-side."""
+    return records.select(id_col, simhash32("tokens").alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "rid"
+) -> DataFrame:
+    """Near-dup pairs with hamming <= max_hamming, blocked on 16-bit halves.
+
+    Two fingerprints within hamming 3 of each other agree exactly on at least
+    one half (pigeonhole) — each half is an equi-join key, so the all-pairs
+    comparison never materializes.
+    """
+    f = fingerprints
+    halves = f.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lo:"), (F.col("simhash") % 65536).cast("string")),
+                F.concat(F.lit("hi:"), (F.col("simhash") / 65536).cast("bigint").cast("string")),
+            )
+        ).alias("hkey"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    return (
+        a.join(b, "hkey")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    records: DataFrame,
+    cfg: LinkageConfig,
+    min_jaccard: float = 0.5,
+    id_col: str = "rid",
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates: (id1, id2, jaccard).
+
+    LSH bounds the pair space; the exact Jaccard then verifies — same
+    bound-then-verify shape as the reference's retrieve-then-score
+    (bela/task/joint_el_task.py:658-690 then 766-890).
+    """
+    cand = minhash_lsh_pairs(records, cfg, id_col)
+    sh = records.select(
+        F.col(id_col),
+        F.array_distinct(shingles_of("tokens", cfg.shingle_k)).alias("sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed(id_col, "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(sh.withColumnRenamed(id_col, "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.when(F.size(F.array_union("sh1", "sh2")) == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")).cast("double")
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")
+
+
+def embedding_near_dup_pairs(
+    embedded: DataFrame,
+    min_cosine: float = 0.9,
+    id_col: str = "rid",
+    emb_col: str = "embedding",
+    block_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dups. With block_keys (id, key) the pair space is
+    bounded by the blocking join; without, it degrades to a broadcast
+    self-join (small inputs only — callers at scale must pass keys)."""
+    e = embedded.select(F.col(id_col), F.col(emb_col))
+    if block_keys is not None:
+        k1 = block_keys.withColumnRenamed(id_col, "id1")
+        k2 = block_keys.withColumnRenamed(id_col, "id2")
+        pairs = (
+            k1.join(k2, "key")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+    else:
+        a = e.select(F.col(id_col).alias("id1"))
+        b = e.select(F.col(id_col).alias("id2"))
+        pairs = F.broadcast(a).crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    j = (
+        pairs.join(
+            e.withColumnRenamed(id_col, "id1").withColumnRenamed(emb_col, "e1"), "id1"
+        )
+        .join(e.withColumnRenamed(id_col, "id2").withColumnRenamed(emb_col, "e2"), "id2")
+        .withColumn("cosine", cosine_sim("e1", "e2"))
+    )
+    return j.filter(F.col("cosine") >= min_cosine).select("id1", "id2", "cosine")

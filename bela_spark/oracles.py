@@ -1,0 +1,507 @@
+"""ANSI-SQL (DuckDB) oracles for every SQL-expressible query in queries.py.
+
+Each string runs against the driver's pre-registered views (documents,
+embeddings, lineitem, orders, customer, nation, ...). Parity contract with the
+Spark side (see queries.py docstring): identical md5/sha256/levenshtein/regexp
+semantics, floats floored to 6 decimals, integers cast to BIGINT, rankings
+totally ordered.
+"""
+
+from __future__ import annotations
+
+# Shared fragments ----------------------------------------------------------
+
+_BASE = """
+recs AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, source, norm,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS t
+  FROM recs
+)
+"""
+
+_SHINGLES = _BASE + """,
+shingle_idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+shingle_rows AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle FROM shingle_idx
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS shingle FROM toks WHERE len(t) < 3
+),
+dshingles AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows)
+"""
+
+_MINHASH = _SHINGLES + """,
+mh AS (
+  SELECT doc_id, g.seed AS seed, min(md5(shingle || '#' || g.seed::VARCHAR)) AS mh
+  FROM dshingles, generate_series(0, 15) g(seed)
+  GROUP BY doc_id, g.seed
+)
+"""
+
+_KEYS = _MINHASH + """,
+bands AS (
+  SELECT doc_id, (seed // 4) AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)
+),
+keys AS (
+  SELECT doc_id, 'pfx:' || array_to_string(t[1:2], ' ') AS key
+  FROM toks WHERE length('pfx:' || array_to_string(t[1:2], ' ')) > 4
+  UNION
+  SELECT doc_id, 'mh:' || band::VARCHAR || ':' || band_key AS key FROM bands
+)
+"""
+
+_PAIRS = _KEYS + """,
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.key AS key
+  FROM keys a JOIN keys b USING (key)
+  WHERE a.doc_id < b.doc_id
+),
+upairs AS (SELECT DISTINCT id1, id2 FROM cpairs)
+"""
+
+_SCORED = _PAIRS + """,
+dtoks AS (SELECT doc_id, norm, list_distinct(t) AS dt FROM toks),
+scored AS (
+  SELECT p.id1, p.id2,
+    CASE WHEN greatest(length(r1.norm), length(r2.norm)) = 0 THEN 1.0
+         ELSE 1.0 - levenshtein(r1.norm, r2.norm)
+              / greatest(length(r1.norm), length(r2.norm))::DOUBLE END AS f_lev,
+    CASE WHEN len(list_distinct(r1.dt || r2.dt)) = 0 THEN 1.0
+         ELSE len(list_intersect(r1.dt, r2.dt))
+              / len(list_distinct(r1.dt || r2.dt))::DOUBLE END AS f_jac
+  FROM upairs p
+  JOIN dtoks r1 ON r1.doc_id = p.id1
+  JOIN dtoks r2 ON r2.doc_id = p.id2
+),
+scored2 AS (SELECT id1, id2, f_lev, f_jac, (f_lev + f_jac) / 2.0 AS score FROM scored)
+"""
+
+_CLUSTERS = _SCORED + """,
+edges AS (SELECT id1, id2 FROM scored2 WHERE score >= 0.60),
+sym AS (SELECT id1 AS u, id2 AS v FROM edges UNION SELECT id2, id1 FROM edges),
+cc(id, comp) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, c.comp FROM cc c JOIN sym s ON s.u = c.id WHERE c.comp < s.v
+),
+comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+clusters AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+"""
+
+_ANN_RANKED = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_inner_product(a.emb, b.emb) AS ip
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, ip,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    en = "('the','and','of','to','in','is','that','with','for','on')"
+    langid_values = """
+      (VALUES
+        ('de', ['der','die','das','und','ist','nicht','ein','mit','für','auf']),
+        ('en', ['the','and','of','to','in','is','that','with','for','on']),
+        ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        ('fr', ['le','la','et','les','des','est','un','une','dans','pour'])
+      ) l(lang, words)
+    """
+    return {
+        # --- ER family -----------------------------------------------------
+        "er_exact_dedup": """
+            SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_dups,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY sha256(text)
+        """,
+        "er_blocking_prefix": f"WITH {_BASE} "
+        + """
+            SELECT doc_id, 'pfx:' || array_to_string(t[1:2], ' ') AS key
+            FROM toks WHERE length('pfx:' || array_to_string(t[1:2], ' ')) > 4
+        """,
+        "er_minhash_signatures": f"WITH {_MINHASH} "
+        + "SELECT doc_id, seed::BIGINT AS seed, mh FROM mh",
+        "er_lsh_band_keys": f"WITH {_KEYS} "
+        + "SELECT doc_id, band::BIGINT AS band, band_key FROM bands",
+        "er_candidate_pairs": f"WITH {_PAIRS} "
+        + "SELECT id1, id2, key FROM cpairs",
+        "er_scored_pairs": f"WITH {_SCORED} "
+        + """
+            SELECT id1, id2,
+                   floor(f_lev * 1000000) / 1000000 AS f_lev,
+                   floor(f_jac * 1000000) / 1000000 AS f_jac,
+                   floor(score * 1000000) / 1000000 AS score
+            FROM scored2
+        """,
+        "er_edges": f"WITH {_SCORED} "
+        + "SELECT id1, id2 FROM scored2 WHERE score >= 0.60",
+        "er_clusters": f"WITH RECURSIVE {_CLUSTERS} "
+        + "SELECT doc_id, cluster_id FROM clusters",
+        "er_flagship_clusters": f"WITH RECURSIVE {_CLUSTERS} "
+        + """
+            SELECT c.cluster_id,
+                   count(*)::BIGINT AS n_files,
+                   count(DISTINCT d.source)::BIGINT AS n_sources,
+                   count(DISTINCT d.lang)::BIGINT AS n_langs,
+                   min(d.doc_id) AS example_doc
+            FROM clusters c JOIN documents d USING (doc_id)
+            GROUP BY c.cluster_id
+            ORDER BY n_files DESC, c.cluster_id ASC
+            LIMIT 10
+        """,
+        "er_threshold_grid": f"WITH {_SCORED} "
+        + """
+            SELECT t.threshold::DOUBLE AS threshold, count(*)::BIGINT AS n_edges
+            FROM scored2, (VALUES (0.5), (0.6), (0.7), (0.8)) t(threshold)
+            WHERE score >= t.threshold
+            GROUP BY t.threshold
+        """,
+        # --- dedup extensions ----------------------------------------------
+        "dedup_simhash": f"WITH {_BASE} "
+        + """,
+            votes AS (
+              SELECT u.doc_id, g.b AS b,
+                sum(CASE WHEN substr(md5(u.tok), (g.b + 1)::INT, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u,
+                   generate_series(0, 31) g(b)
+              GROUP BY u.doc_id, g.b
+            ),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        "dedup_simhash_pairs": f"WITH {_BASE} "
+        + """,
+            votes AS (
+              SELECT u.doc_id, g.b AS b,
+                sum(CASE WHEN substr(md5(u.tok), (g.b + 1)::INT, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u,
+                   generate_series(0, 31) g(b)
+              GROUP BY u.doc_id, g.b
+            ),
+            fp0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            fp AS (
+              SELECT d.doc_id, coalesce(fp0.simhash, 0)::BIGINT AS simhash
+              FROM documents d LEFT JOIN fp0 USING (doc_id)
+            ),
+            halves AS (
+              SELECT doc_id, simhash, 'lo:' || (simhash % 65536)::VARCHAR AS hkey FROM fp
+              UNION ALL
+              SELECT doc_id, simhash, 'hi:' || (simhash // 65536)::VARCHAR AS hkey FROM fp
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM halves a JOIN halves b USING (hkey)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        "dedup_ngram_jaccard": f"WITH {_PAIRS} "
+        + """,
+            dsh AS (
+              SELECT doc_id, list_distinct(list(shingle)) AS sh
+              FROM dshingles GROUP BY doc_id
+            ),
+            jac AS (
+              SELECT p.id1, p.id2,
+                CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 1.0
+                     ELSE len(list_intersect(a.sh, b.sh))
+                          / len(list_distinct(a.sh || b.sh))::DOUBLE END AS jaccard
+              FROM upairs p JOIN dsh a ON a.doc_id = p.id1 JOIN dsh b ON b.doc_id = p.id2
+            )
+            SELECT id1, id2, floor(jaccard * 1000000) / 1000000 AS jaccard
+            FROM jac WHERE jaccard >= 0.40
+        """,
+        "dedup_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            s AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     list_inner_product(a.emb, b.emb)
+                     / (sqrt(list_inner_product(a.emb, a.emb))
+                        * sqrt(list_inner_product(b.emb, b.emb))) AS cosine
+              FROM e a, e b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id1, id2, floor(cosine * 1000000) / 1000000 AS cosine
+            FROM s WHERE cosine >= 0.5
+        """,
+        # --- ANN family ------------------------------------------------------
+        "ann_topk": f"WITH {_ANN_RANKED} "
+        + """
+            SELECT vec_id, neighbor_id,
+                   floor(ip * 1000000) / 1000000 AS ip_score, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_recall_at_k": f"WITH {_ANN_RANKED} "
+        + """,
+            hits AS (
+              SELECT r.vec_id,
+                     max(CASE WHEN r.rank <= 1 AND la.label = lb.label THEN 1 ELSE 0 END) AS h1,
+                     max(CASE WHEN r.rank <= 5 AND la.label = lb.label THEN 1 ELSE 0 END) AS h5,
+                     max(CASE WHEN r.rank <= 10 AND la.label = lb.label THEN 1 ELSE 0 END) AS h10
+              FROM ranked r
+              JOIN e la ON la.vec_id = r.vec_id
+              JOIN e lb ON lb.vec_id = r.neighbor_id
+              WHERE r.rank <= 10
+              GROUP BY r.vec_id
+            )
+            SELECT floor(avg(h1) * 1000000) / 1000000 AS recall_at_1,
+                   floor(avg(h5) * 1000000) / 1000000 AS recall_at_5,
+                   floor(avg(h10) * 1000000) / 1000000 AS recall_at_10,
+                   count(*)::BIGINT AS n_queries
+            FROM hits
+        """,
+        "ann_mrr": f"WITH {_ANN_RANKED} "
+        + """,
+            firsts AS (
+              SELECT r.vec_id, min(r.rank) AS first_rank
+              FROM ranked r
+              JOIN e la ON la.vec_id = r.vec_id
+              JOIN e lb ON lb.vec_id = r.neighbor_id
+              WHERE r.rank <= 10 AND la.label = lb.label
+              GROUP BY r.vec_id
+            )
+            SELECT floor(avg(1.0 / first_rank) * 1000000) / 1000000 AS mrr,
+                   floor(avg(first_rank::DOUBLE) * 1000000) / 1000000 AS mean_rank,
+                   count(*)::BIGINT AS n_queries
+            FROM firsts
+        """,
+        # --- EL surface ------------------------------------------------------
+        "el_windows": """
+            WITH starts AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text), 1), 50)) AS s
+              FROM documents
+            )
+            SELECT doc_id, s::BIGINT AS win_start, substr(text, s::INT, 100) AS win_text
+            FROM starts
+        """,
+        "el_interval_merge": """
+            WITH offs AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(length(text) - 5, 1), 3)) AS o
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, o AS "offset", 3 + (o % 4) AS length,
+                     ((doc_id * 7 + o) % 100) / 100.0 AS score
+              FROM offs
+            ),
+            w1 AS (
+              SELECT *, max("offset" + length) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+              FROM spans
+            ),
+            w2 AS (
+              SELECT *, CASE WHEN prev_max_end IS NULL OR "offset" >= prev_max_end
+                             THEN 1 ELSE 0 END AS is_new FROM w1
+            ),
+            w3 AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+              FROM w2
+            ),
+            w4 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id, session
+                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+              FROM w3
+            )
+            SELECT doc_id, "offset"::BIGINT AS offset, length::BIGINT AS length,
+                   floor(score * 1000000) / 1000000 AS score
+            FROM w4 WHERE rn = 1
+        """,
+        "el_span_f1": """
+            WITH gold0 AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 5, 1), 11)) AS o
+              FROM documents
+            ),
+            gold AS (
+              SELECT doc_id, o AS "offset", 5 AS length, substr(text, o::INT, 5) AS ent
+              FROM gold0
+            ),
+            pred0 AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 5, 1), 13)) AS o
+              FROM documents
+            ),
+            pred AS (
+              SELECT doc_id, o AS "offset", 5 AS length, substr(text, o::INT, 5) AS ent
+              FROM pred0
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
+                     THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fp,
+                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fn
+              FROM pred p FULL OUTER JOIN gold g
+                USING (doc_id, "offset", length)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """,
+        "el_boe_f1": f"WITH {_BASE} "
+        + """,
+            gold AS (SELECT DISTINCT doc_id, unnest(t) AS ent FROM toks),
+            predn AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(substr(text, 1, floor(length(text) / 2)::INT)),
+                                    '[^a-z0-9]+', ' ', 'g')) AS pn
+              FROM documents
+            ),
+            pred AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN pn = '' THEN []::VARCHAR[] ELSE string_split(pn, ' ') END) AS ent
+              FROM predn
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NULL THEN 1 ELSE 0 END AS fp,
+                CASE WHEN p.ent IS NULL AND g.ent IS NOT NULL THEN 1 ELSE 0 END AS fn
+              FROM (SELECT doc_id, ent, 1 AS x FROM pred) p
+              FULL OUTER JOIN (SELECT doc_id, ent, 1 AS y FROM gold) g
+                USING (doc_id, ent)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """,
+        # --- text analysis ---------------------------------------------------
+        "text_token_stats": f"WITH {_BASE} "
+        + """
+            SELECT d.doc_id,
+                   length(d.text)::BIGINT AS n_chars,
+                   len(t.t)::BIGINT AS n_tokens,
+                   len(list_distinct(t.t))::BIGINT AS n_distinct_tokens,
+                   CASE WHEN len(t.t) = 0 THEN 0.0
+                        ELSE floor(length(t.norm) / len(t.t)::DOUBLE * 1000000) / 1000000
+                   END AS avg_token_len
+            FROM documents d JOIN toks t USING (doc_id)
+        """,
+        "text_quality": f"WITH {_BASE} "
+        + f"""
+            SELECT d.doc_id,
+              CASE WHEN len(t.t) = 0 THEN 0.0
+                   ELSE floor(len(list_distinct(t.t)) / len(t.t)::DOUBLE * 1000000) / 1000000
+              END AS distinct_ratio,
+              CASE WHEN len(t.t) = 0 THEN 0.0
+                   ELSE floor(len(list_filter(t.t, x -> x IN {en}))
+                              / len(t.t)::DOUBLE * 1000000) / 1000000
+              END AS stopword_ratio,
+              CASE WHEN length(d.text) = 0 THEN 0.0
+                   ELSE floor(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))
+                              / length(d.text)::DOUBLE * 1000000) / 1000000
+              END AS alnum_ratio
+            FROM documents d JOIN toks t USING (doc_id)
+        """,
+        "text_langid": f"WITH {_BASE} "
+        + f""",
+            votes AS (
+              SELECT t.doc_id, l.lang,
+                     len(list_filter(t.t, x -> list_contains(l.words, x))) AS votes
+              FROM toks t, {langid_values}
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY votes DESC, lang ASC) AS rn
+              FROM votes
+            )
+            SELECT doc_id, lang AS pred_lang, votes::BIGINT AS votes FROM r WHERE rn = 1
+        """,
+        "text_fingerprint": f"WITH {_BASE} "
+        + """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+            FROM toks
+        """,
+        "text_topk_tokens": f"WITH {_BASE} "
+        + """,
+            counts AS (
+              SELECT doc_id, tok AS token, count(*)::BIGINT AS n
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, token ASC) AS rank
+              FROM counts
+            )
+            SELECT doc_id, token, n, rank::BIGINT AS rank FROM r WHERE rank <= 3
+        """,
+        "catalogue_index": """
+            SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS ent_index
+            FROM (SELECT DISTINCT lang FROM documents)
+        """,
+        # --- general analytics -----------------------------------------------
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   floor(sum(l_quantity) * 1000000) / 1000000 AS sum_qty,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 1000000) / 1000000 AS revenue,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_top_customers": """
+            WITH agg AS (
+              SELECT c.c_custkey, c.c_name, n.n_name,
+                     floor(sum(o.o_totalprice) * 1000000) / 1000000 AS total_spend,
+                     count(*)::BIGINT AS n_orders
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY c.c_custkey, c.c_name, n.n_name
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                ORDER BY total_spend DESC, c_custkey ASC) AS rank
+              FROM agg
+            )
+            SELECT c_custkey, c_name, n_name, total_spend, n_orders
+            FROM r WHERE rank <= 20
+        """,
+    }

@@ -1,0 +1,207 @@
+"""End-to-end record-linkage pipeline (SURVEY.md section 3.2 Spark rebuild).
+
+One continuous DataFrame DAG:
+  read -> normalize + sha256 -> blocking keys (MinHash-LSH + prefix)
+       -> per-key caps + salted pair join -> pairwise scoring -> threshold
+       -> large-star/small-star clustering -> cluster assignment -> stats/F1
+
+Shuffles: blocking-key aggregation, pair join, feature joins, CC rounds —
+everything else is narrow and pipelined by Catalyst. Single collect() only in
+evaluation helpers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bela_spark.config import LinkageConfig
+from bela_spark.functions.text import record_id
+from bela_spark.functions.vectors import embed_text
+from bela_spark.operators.blocking import blocking_keys, with_record_columns
+from bela_spark.operators.cc import CCResult, connected_components
+from bela_spark.operators.pairs import candidate_pairs_with_drops, distinct_pairs
+from bela_spark.operators.scoring import (
+    accept_edges,
+    attach_pair_features,
+    score_pairs,
+    score_pairs_batched,
+)
+
+
+@dataclass
+class LinkageRun:
+    records: DataFrame   # rid, content_sha, norm, tokens, (embedding), input cols
+    keys: DataFrame      # rid, key
+    key_drops: DataFrame # key, n_ids, n_dropped (never silent truncation)
+    pairs: DataFrame     # id1, id2, key
+    scored: DataFrame    # id1, id2, features..., score
+    edges: DataFrame     # id1, id2 accepted
+    cc: CCResult
+    clusters: DataFrame  # records + component
+
+
+def prepare_records(
+    df: DataFrame, cfg: LinkageConfig, use_embeddings: bool = False
+) -> DataFrame:
+    """Input table -> records with rid / content_sha / norm / tokens
+    (/ embedding). rid = sha256(repo||path||commit) per FIXTURES.md F2."""
+    rec = with_record_columns(df, cfg).withColumn(
+        "rid", record_id("repo", "path", "commit")
+    )
+    if use_embeddings:
+        rec = rec.withColumn("embedding", embed_text(cfg.embedding_dim, cfg.seed)("norm"))
+    return rec
+
+
+def run_linkage(
+    df: DataFrame,
+    cfg: LinkageConfig | None = None,
+    use_embeddings: bool = False,
+    batched_scoring: bool = False,
+    persist: bool = True,
+    collapse_exact: bool = False,
+) -> LinkageRun:
+    """The full pipeline. With collapse_exact, records sharing identical
+    normalized content are collapsed to one representative before blocking —
+    the at-scale move (a 10^6-member exact-dup group must never reach the
+    pairwise stage; cf. the reference's in-batch entity dedup + target remap,
+    order_entities, mblink/utils/utils.py:139-207). Members re-expand to the
+    representative's cluster at assignment time, so final clusters are
+    identical either way (tests/test_pipeline_f1.py pins this)."""
+    cfg = cfg or LinkageConfig()
+    records = prepare_records(df, cfg, use_embeddings=use_embeddings or batched_scoring)
+    if persist:
+        # records feed three consumers (key gen + both sides of the feature
+        # join); scored feeds the edge filter and downstream evaluation
+        records = records.persist()
+
+    if collapse_exact:
+        # one shuffle on a compact 128-bit key (never on the full norm string):
+        # every record learns its representative via a window min
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.md5("norm"))
+        records = records.withColumn("rep", F.min("rid").over(w))
+        if persist:
+            records = records.persist()
+        base = records.filter(F.col("rid") == F.col("rep"))
+    else:
+        base = records
+
+    keys = blocking_keys(base, cfg)
+    pairs, drops = candidate_pairs_with_drops(keys, cfg, persist=persist)
+    uniq = distinct_pairs(pairs)
+
+    feature_cols = ("norm", "tokens") + (
+        ("embedding",) if (use_embeddings or batched_scoring) else ()
+    )
+    feat = attach_pair_features(uniq, base, feature_cols=feature_cols)
+    if batched_scoring:
+        scored = score_pairs_batched(feat, cfg)
+    else:
+        scored = score_pairs(feat, cfg, use_cosine=use_embeddings)
+    if persist:
+        scored = scored.persist()
+
+    edges = accept_edges(scored, cfg)
+    cc = connected_components(
+        edges, max_rounds=cfg.max_cc_rounds, checkpoint_dir=cfg.checkpoint_dir
+    )
+    if collapse_exact:
+        # expand: every record inherits its representative's component
+        rep_assign = cc.assignments.withColumnRenamed("rid", "rep")
+        clusters = (
+            records.join(rep_assign, "rep", "left")
+            .withColumn("cluster_id", F.coalesce("component", "rep"))
+            .drop("component", "rep")
+        )
+    else:
+        clusters = assign_clusters(records, cc.assignments)
+    return LinkageRun(records, keys, drops, pairs, scored, edges, cc, clusters)
+
+
+def assign_clusters(records: DataFrame, assignments: DataFrame) -> DataFrame:
+    """C6: join components back; singletons become their own cluster."""
+    return records.join(assignments, "rid", "left").withColumn(
+        "cluster_id", F.coalesce("component", "rid")
+    ).drop("component")
+
+
+def cluster_stats(clusters: DataFrame, top_n: int = 10) -> DataFrame:
+    """Flagship output: the top-N duplicate-file entities."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("path").alias("example_path"),
+        )
+        .orderBy(F.desc("n_files"), "cluster_id")
+        .limit(top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: micro pairwise P/R/F1 per blocking key (A1 analogue,
+# bela/evaluation/model_eval.py:312-372) against planted group truth.
+# ---------------------------------------------------------------------------
+
+def label_pairs(pairs: DataFrame, records_with_truth: DataFrame) -> DataFrame:
+    """(id1, id2, key, label): label=1 iff both sides share a planted group.
+    `records_with_truth` must carry (rid, group_id) from fixtures F1."""
+    g = records_with_truth.select("rid", "group_id")
+    return (
+        pairs.join(g.withColumnRenamed("rid", "id1").withColumnRenamed("group_id", "g1"), "id1")
+        .join(g.withColumnRenamed("rid", "id2").withColumnRenamed("group_id", "g2"), "id2")
+        .withColumn("label", (F.col("g1") == F.col("g2")).cast("int"))
+        .drop("g1", "g2")
+    )
+
+
+def pairwise_f1(
+    labeled: DataFrame, scored: DataFrame, threshold: float, per_key: bool = False
+) -> DataFrame:
+    """Micro P/R/F1 of score>=threshold vs labels over candidate pairs.
+
+    per_key=True gives one row per blocking key (the north-rule granularity);
+    otherwise one global micro row.
+    """
+    j = labeled.join(scored.select("id1", "id2", "score"), ["id1", "id2"])
+    j = j.withColumn("pred", (F.col("score") >= F.lit(threshold)).cast("int"))
+    group = ["key"] if per_key else []
+    agg = j.groupBy(*group).agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+    )
+    return agg.select(
+        *group,
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias("precision"),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias("recall"),
+        (
+            2.0 * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+        ).alias("f1"),
+    )
+
+
+def documents_as_repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: driver `documents` table -> the north-rule repo_files shape.
+
+    A document row becomes a file row (content=text); lets the flagship query
+    and every oracle-checked ER query run on driver-provided parquet.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/d"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.concat_ws(":", "doc_id", "source"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,536 @@
+"""The driver-facing query surface: one callable per implemented operator
+(SURVEY.md section 2), each over the driver parquet tables at `sf_dir`.
+
+Every callable here has (unless noted) an exact ANSI-SQL twin in
+`bela_spark.oracles` runnable by DuckDB on the same tables. Parity rules:
+  - float outputs pass through `f6` (floor to 6 decimals) on BOTH sides;
+  - integer outputs are cast to bigint on BOTH sides;
+  - all rankings carry total tie-breaks;
+  - only md5/sha256/levenshtein/regexp primitives with identical semantics.
+
+The ER queries treat the driver `documents` table as the record table
+(content = text), i.e. the documents-as-repo_files adapter of pipeline.py;
+the full north-rule pipeline on synthesized repo_files is exercised by
+tests/test_pipeline_f1.py and bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from bela_spark.config import LinkageConfig
+from bela_spark.functions.hashing import band_keys, minhash_signatures, minhash_wide, simhash32
+from bela_spark.functions.text import LANGID_STOPWORDS, normalized, shingles_of, tokens_of
+from bela_spark.functions.vectors import dot_product, embed_text
+from bela_spark.operators import el as el_ops
+from bela_spark.operators import textops
+from bela_spark.operators.ann import brute_force_topk, lsh_topk, mrr, recall_at_k
+from bela_spark.operators.cc import connected_components
+from bela_spark.operators.dedup import simhash_near_pairs
+from bela_spark.operators.multimodal import extract_features, synth_media
+
+CFG = LinkageConfig()
+ER_THRESHOLD = 0.60
+JACCARD_MIN = 0.40
+
+
+def f6(c: Column | str) -> Column:
+    """Floor to 6 decimals — float parity discipline with the DuckDB oracle."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 1e6) / F.lit(1e6)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, norm, tokens): the ER record table."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("norm", normalized("text"))
+        .withColumn("tokens", tokens_of("norm"))
+        .select("doc_id", "lang", "source", "norm", "tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER family (S/T/J/P/C operators on the documents record table)
+# ---------------------------------------------------------------------------
+
+def er_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET2/T14: hash-groupBy exact dedup over sha256(text)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.sha2("text", 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def er_blocking_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 prefix family: 'pfx:' + first 2 normalized tokens."""
+    r = _records(spark, sf_dir)
+    return r.select(
+        "doc_id",
+        F.concat(F.lit("pfx:"), F.concat_ws(" ", F.slice("tokens", 1, CFG.prefix_len))).alias("key"),
+    ).filter(F.length("key") > 4)
+
+
+def _shingled(spark, sf_dir) -> DataFrame:
+    r = _records(spark, sf_dir)
+    return r.select("doc_id", shingles_of("tokens", CFG.shingle_k).alias("shingles"))
+
+
+def er_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: per-seed md5 minhash over 3-token shingles."""
+    sig = minhash_signatures(
+        _shingled(spark, sf_dir), id_col="doc_id", num_hashes=CFG.num_minhashes
+    )
+    return sig.select("doc_id", F.col("seed").cast("bigint").alias("seed"), "mh")
+
+
+def er_lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: LSH band keys (4 bands x 4 hashes)."""
+    wide = minhash_wide(
+        _shingled(spark, sf_dir), id_col="doc_id", num_hashes=CFG.num_minhashes
+    )
+    bk = band_keys(wide, id_col="doc_id", num_hashes=CFG.num_minhashes, band_size=CFG.band_size)
+    return bk.select("doc_id", F.col("band").cast("bigint").alias("band"), "band_key")
+
+
+def _all_keys(spark, sf_dir) -> DataFrame:
+    pfx = er_blocking_prefix(spark, sf_dir)
+    bands = er_lsh_band_keys(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("mh:"), F.col("band").cast("string"), F.lit(":"), "band_key").alias("key"),
+    )
+    return pfx.unionByName(bands).distinct()
+
+
+def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: self-join per blocking key, id1 < id2 canonical, distinct."""
+    keys = _all_keys(spark, sf_dir)
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), "key")
+        .distinct()
+    )
+
+
+def _scored_pairs(spark, sf_dir) -> DataFrame:
+    pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
+    r = _records(spark, sf_dir).select(
+        "doc_id", "norm", F.array_distinct("tokens").alias("toks")
+    )
+    j = (
+        pairs.join(
+            r.select(
+                F.col("doc_id").alias("id1"), F.col("norm").alias("n1"), F.col("toks").alias("t1")
+            ),
+            "id1",
+        )
+        .join(
+            r.select(
+                F.col("doc_id").alias("id2"), F.col("norm").alias("n2"), F.col("toks").alias("t2")
+            ),
+            "id2",
+        )
+        .withColumn(
+            "f_lev",
+            F.when(F.greatest(F.length("n1"), F.length("n2")) == 0, F.lit(1.0)).otherwise(
+                1.0
+                - F.levenshtein("n1", "n2")
+                / F.greatest(F.length("n1"), F.length("n2")).cast("double")
+            ),
+        )
+        .withColumn(
+            "f_jac",
+            F.when(F.size(F.array_union("t1", "t2")) == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("t1", "t2"))
+                / F.size(F.array_union("t1", "t2")).cast("double")
+            ),
+        )
+        .withColumn("score", (F.col("f_lev") + F.col("f_jac")) / 2.0)
+    )
+    return j
+
+
+def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E8: Levenshtein + token-Jaccard blend per candidate pair."""
+    j = _scored_pairs(spark, sf_dir)
+    return j.select(
+        "id1", "id2", f6("f_lev").alias("f_lev"), f6("f_jac").alias("f_jac"), f6("score").alias("score")
+    )
+
+
+def er_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/C1: threshold gate -> accepted edges."""
+    return (
+        _scored_pairs(spark, sf_dir)
+        .filter(F.col("score") >= ER_THRESHOLD)
+        .select("id1", "id2")
+    )
+
+
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C6: large-star/small-star transitive clusters; singletons keep
+    their own id. cluster_id = min member doc_id."""
+    edges = er_edges(spark, sf_dir)
+    cc = connected_components(edges, max_rounds=CFG.max_cc_rounds)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(
+        cc.assignments.withColumnRenamed("rid", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id")
+    )
+
+
+def er_flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 10 largest duplicate-content entities with stats."""
+    clusters = er_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    j = clusters.join(docs, "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy(F.desc("n_files"), F.asc("cluster_id"))
+        .limit(10)
+    )
+
+
+def er_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: edges per threshold from one scored-pairs pass."""
+    scored = _scored_pairs(spark, sf_dir).select("score")
+    grid = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8)], "threshold double")
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .filter(F.col("score") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family extensions
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (JVM higher-order functions)."""
+    r = _records(spark, sf_dir)
+    return r.select("doc_id", simhash32("tokens").alias("simhash"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6), blocked on 16-bit halves."""
+    fp = dedup_simhash(spark, sf_dir)
+    return simhash_near_pairs(fp, max_hamming=6, id_col="doc_id").select(
+        "id1", "id2", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard >= 0.4 over LSH candidates."""
+    j = _scored_pairs(spark, sf_dir)  # f_jac is token-level; recompute on shingles
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    pairs = j.select("id1", "id2")
+    out = (
+        pairs.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1")), "id1")
+        .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.when(F.size(F.array_union("s1", "s2")) == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("s1", "s2"))
+                / F.size(F.array_union("s1", "s2")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+    return out.select("id1", "id2", f6("jaccard").alias("jaccard"))
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups over the driver embeddings table."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    from bela_spark.functions.vectors import cosine_sim
+
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_sim("e1", "e2"))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id1", "id2", f6("cosine").alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN / retrieval family (J1/J2, A3/A4)
+# ---------------------------------------------------------------------------
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force inner-product top-5 (exact baseline)."""
+    e = _emb(spark, sf_dir)
+    out = brute_force_topk(e, e, k=5)
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        f6(F.col("ip_score")).alias("ip_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{1,5,10}: same-label neighbor retrieved within k."""
+    e = _emb(spark, sf_dir)
+    topk = brute_force_topk(e, e, k=10)
+    out = recall_at_k(topk, e.select("vec_id", "label"), ks=(1, 5, 10))
+    return out.select(
+        f6("recall_at_1").alias("recall_at_1"),
+        f6("recall_at_5").alias("recall_at_5"),
+        f6("recall_at_10").alias("recall_at_10"),
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+    )
+
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + mean rank of first same-label neighbor in top-10."""
+    e = _emb(spark, sf_dir)
+    topk = brute_force_topk(e, e, k=10)
+    out = mrr(topk, e.select("vec_id", "label"))
+    return out.select(
+        f6("mrr").alias("mrr"),
+        f6("mean_rank").alias("mean_rank"),
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-5 (no SQL oracle — checked vs brute force
+    in tests/test_ann.py by recall)."""
+    e = _emb(spark, sf_dir)
+    out = lsh_topk(e, k=5, n_planes=8, n_tables=4, dim=64)
+    return out.select(
+        "vec_id", "neighbor_id", f6("ip_score").alias("ip_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EL query surface (T13, W3, J5/J6, A1/A2)
+# ---------------------------------------------------------------------------
+
+def el_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: sliding character windows, size 100, overlap 50."""
+    return el_ops.document_windows(_docs(spark, sf_dir), 100, 50).select(
+        "doc_id", F.col("win_start").cast("bigint").alias("win_start"), "win_text"
+    )
+
+
+def _synth_spans(spark, sf_dir) -> DataFrame:
+    """Deterministic overlapping spans per doc: offsets 1,4,7,... length
+    3+(offset%4), score ((doc_id*7+offset)%100)/100."""
+    d = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("n"))
+    s = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - 5, F.lit(1)), F.lit(3))).alias(
+            "offset"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "offset",
+        (F.lit(3) + F.col("offset") % 4).alias("length"),
+        ((F.col("doc_id") * 7 + F.col("offset")) % 100 / 100.0).alias("score"),
+    )
+
+
+def el_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: overlapping-span merge — keep the best span per overlap run."""
+    spans = _synth_spans(spark, sf_dir)
+    out = el_ops.merge_overlapping_spans(spans)
+    return out.select(
+        "doc_id",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("length").cast("bigint").alias("length"),
+        f6("score").alias("score"),
+    )
+
+
+def _gold_pred_spans(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n"))
+    gold = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - 5, F.lit(1)), F.lit(11))).alias("offset"),
+        "text",
+    ).select(
+        "doc_id", "offset", F.lit(5).alias("length"), F.substring("text", F.col("offset"), 5).alias("ent_id")
+    )
+    pred = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - 5, F.lit(1)), F.lit(13))).alias("offset"),
+        "text",
+    ).select(
+        "doc_id", "offset", F.lit(5).alias("length"), F.substring("text", F.col("offset"), 5).alias("ent_id")
+    )
+    return gold, pred
+
+
+def el_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+A1: micro P/R/F1 of pred spans vs gold spans (strong match)."""
+    gold, pred = _gold_pred_spans(spark, sf_dir)
+    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
+    return out.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("precision").alias("precision"),
+        f6("recall").alias("recall"),
+        f6("f1").alias("f1"),
+    )
+
+
+def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: bag-of-entities micro F1 — entities = distinct tokens; pred set =
+    tokens of the first half of the text."""
+    d = _docs(spark, sf_dir)
+    gold = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_of(normalized("text")))).alias("ent_id")
+    )
+    pred = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                tokens_of(normalized(F.substring("text", 1, F.floor(F.length("text") / 2).cast("int"))))
+            )
+        ).alias("ent_id"),
+    )
+    out = el_ops.bag_of_entities_f1(pred, gold)
+    return out.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("precision").alias("precision"),
+        f6("recall").alias("recall"),
+        f6("f1").alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textops.token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        f6("avg_token_len").alias("avg_token_len"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textops.quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        f6("distinct_ratio").alias("distinct_ratio"),
+        f6("stopword_ratio").alias("stopword_ratio"),
+        f6("alnum_ratio").alias("alnum_ratio"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textops.langid(_docs(spark, sf_dir))
+    return out.select("doc_id", "pred_lang", F.col("votes").cast("bigint").alias("votes"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: top-3 tokens per doc by count (rank window, total tie-break)."""
+    r = _records(spark, sf_dir)
+    tok = r.select("doc_id", F.explode("tokens").alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "token", F.col("n").cast("bigint").alias("n"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def catalogue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: dimension catalogue with dense stable index (row_number - 1)."""
+    langs = _docs(spark, sf_dir).select("lang").distinct()
+    w = W.orderBy("lang")
+    return langs.select(
+        "lang", (F.row_number().over(w) - 1).cast("bigint").alias("ent_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# General analytics (scan/agg/join breadth on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            f6(F.sum("l_quantity")).alias("sum_qty"),
+            f6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        f6(F.sum("o_totalprice")).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20).drop("rank")
+
+
+# ---------------------------------------------------------------------------
+# No-oracle queries (UDF-backed; driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: Arrow-batched deterministic text embeddings (pandas UDF)."""
+    r = _records(spark, sf_dir)
+    return r.select("doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: synth media -> mapInPandas feature extraction."""
+    media = synth_media(_docs(spark, sf_dir))
+    return extract_features(media)

@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pairs_per_sec": ...}
+
+The linkage benchmark synthesizes the north-rule repo_files table at a size
+proportional to sf (6M rows/sf unit -> 600k at sf=0.1) and runs the full
+blocking -> salted pairs -> scoring -> clustering pipeline with exact-content
+collapse (the at-scale configuration). pairs_per_sec is scored candidate
+pairs per second — the BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_linkage = int(os.environ.get("BELA_BENCH_ROWS", str(int(6_000_000 * sf))))
+
+    from bela_spark import queries as q
+    from bela_spark.config import LinkageConfig
+    from bela_spark.fixtures import synth_repo_files
+    from bela_spark.pipeline import run_linkage
+    from bela_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bela-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 32),
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. flagship: full ER pipeline over the driver documents table
+    timed("flagship_clusters", lambda: q.er_flagship_clusters(spark, sf_dir).collect())
+
+    # 2. linkage throughput on synthesized repo_files (the north-rule job)
+    def _linkage():
+        df = synth_repo_files(spark, n_linkage, seed=42)
+        run = run_linkage(df, LinkageConfig(), collapse_exact=True)
+        n_pairs = run.scored.count()
+        n_clusters = run.clusters.select("cluster_id").distinct().count()
+        extras["n_records"] = n_linkage
+        extras["n_scored_pairs"] = n_pairs
+        extras["n_clusters"] = n_clusters
+        run.records.unpersist()
+        run.scored.unpersist()
+        return n_pairs
+
+    n_pairs = timed("linkage_end_to_end", _linkage)
+    extras["pairs_per_sec"] = round(n_pairs / max(timings["linkage_end_to_end"], 1e-9), 1)
+
+    # 3. ANN brute-force top-k over the driver embeddings
+    timed("ann_topk", lambda: q.ann_topk(spark, sf_dir).count())
+
+    # 4. MinHash near-dup over driver documents
+    timed("dedup_ngram_jaccard", lambda: q.dedup_ngram_jaccard(spark, sf_dir).count())
+
+    # 5. text-analysis sweep (token stats + quality + langid in one pass each)
+    timed("text_analysis", lambda: (
+        q.text_token_stats(spark, sf_dir).count()
+        + q.text_quality(spark, sf_dir).count()
+        + q.text_langid(spark, sf_dir).count()
+    ))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
