@@ -22,11 +22,21 @@ class LinkageConfig:
 
     # --- candidate-pair generation (J3) ---
     salt_buckets: int = 8       # salted self-join grid for hot keys
-    hot_key_threshold: int = 1_000   # ids per key above which salting kicks in
-    max_ids_per_key: int = 20_000    # hard cap per key; drops are logged, never silent
+    hot_key_threshold: int = 64      # ids per key above which salting kicks in
+                                     # (C(64,2) ~ 2k pair-emits keeps cold join
+                                     # tasks fine-grained — no output-skew
+                                     # stragglers; bigger keys hit the S^2 grid)
+    mega_key_threshold: int = 512    # ids per key above which quadratic pairing
+                                     # stops: switch to sorted-neighborhood
+                                     # chaining (linear pairs, CC closes the
+                                     # transitive group) — logged, never silent
+    chain_window: int = 4            # neighbors each record pairs with in a
+                                     # chained mega key
+    max_ids_per_key: int = 20_000    # hard cap used by the standalone cap_keys
+                                     # operator (drops logged)
 
     # --- pairwise scoring (E5/E6/E8 analogues) ---
-    lev_max_chars: int = 256    # bound the O(L^2) Levenshtein per pair; exact
+    lev_max_chars: int = 64     # bound the O(L^2) Levenshtein per pair; exact
                                 # identity is already covered by the exact-
                                 # collapse stage + jaccard, so a bounded prefix
                                 # is the scale-safe feature
@@ -34,8 +44,10 @@ class LinkageConfig:
     w_lev: float = 0.35
     w_jac: float = 0.35
     w_cos: float = 0.30
-    score_threshold: float = 0.60    # calibrated on labeled fixtures: negatives
-                                     # max ~0.52, positives p5 ~0.78 (tests/test_pipeline_f1.py)
+    score_threshold: float = 0.55    # calibrated on labeled fixtures with the
+                                     # production scorer (lev64-prefix + hashed-
+                                     # token jaccard): negatives max ~0.540,
+                                     # positives min ~0.573 (tests/test_pipeline_f1.py)
 
     # --- connected components (C1-C6) ---
     max_cc_rounds: int = 25

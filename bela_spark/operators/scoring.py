@@ -87,9 +87,8 @@ def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
     from bela_spark.functions.strings import jaro_winkler
 
     m = cfg.lev_max_chars
+    gate = jaccard_gate(cfg, use_cosine=True)
     jvm_scored = feat.withColumn(
-        "f_lev", lev_sim(F.substring("norm_1", 1, m), F.substring("norm_2", 1, m))
-    ).withColumn(
         "f_jac",
         F.when(
             F.size(F.array_union("tokens_1", "tokens_2")) == 0, F.lit(1.0)
@@ -97,6 +96,12 @@ def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
             F.size(F.array_intersect("tokens_1", "tokens_2"))
             / F.size(F.array_union("tokens_1", "tokens_2")).cast("double")
         ),
+    ).withColumn(
+        "f_lev",
+        F.when(
+            F.col("f_jac") >= F.lit(gate),
+            lev_sim(F.substring("norm_1", 1, m), F.substring("norm_2", 1, m)),
+        ).otherwise(F.lit(0.0)),
     ).drop("tokens_1", "tokens_2")
 
     schema_out = (
@@ -139,4 +144,186 @@ def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
 def accept_edges(scored: DataFrame, cfg: LinkageConfig) -> DataFrame:
     """Threshold gate (P3 analogue, md/el thresholds joint_el_task.py:1132-1142)
     -> edge set for clustering (C1)."""
-    return scored.filter(F.col("score") >= F.lit(cfg.score_threshold)).select("id1", "id2")
+    return (
+        scored.filter(F.col("score") >= F.lit(cfg.score_threshold))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def jaccard_gate(cfg: LinkageConfig, use_cosine: bool) -> float:
+    """Jaccard level below which the blended score cannot reach the accept
+    threshold even if every other feature is 1.0 — so the O(L^2) Levenshtein
+    can be skipped EXACTLY (same edges, zero approximation). Mirrors the
+    reference's cheap-gate-before-expensive-score order: md_score gates the
+    EL head (bela/evaluation/model_eval.py:196-204)."""
+    w_l, w_j = cfg.w_lev, cfg.w_jac
+    w_c = cfg.w_cos if use_cosine else 0.0
+    total = w_l + w_j + w_c
+    return (cfg.score_threshold * total - w_l - w_c) / w_j
+
+
+def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFrame:
+    """Shared scoring expressions over (n1, t1, n2, t2[, e1, e2]) columns.
+
+    Three-stage staged scoring, cheapest first (each gate is EXACT given the
+    blend weights — gated-off pairs cannot reach the accept threshold):
+      1. size-ratio bound (O(1)): for DISTINCT token arrays,
+         jaccard <= min(|A|,|B|)/max(|A|,|B|) — below the gate, skip all work;
+      2. token jaccard (~40us on ~50-token arrays);
+      3. bounded-prefix Levenshtein (~40us at 64 chars) only when jaccard
+         leaves the threshold reachable.
+    Junk candidate pairs from loose blocking keys cost ~5us instead of ~1ms.
+    Gated-off pairs carry f_jac/f_lev = 0. Callers must pass t1/t2 as
+    array_distinct token arrays (the size bound is only valid for sets)."""
+    m = cfg.lev_max_chars
+    gate = jaccard_gate(cfg, use_cosine)
+    s1, s2 = F.size("t1"), F.size("t2")
+    size_bound = F.when(
+        F.greatest(s1, s2) == 0, F.lit(1.0)
+    ).otherwise(F.least(s1, s2) / F.greatest(s1, s2).cast("double"))
+    out = df.withColumn(
+        "f_jac",
+        F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(
+            F.when(F.size(F.array_union("t1", "t2")) == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("t1", "t2"))
+                / F.size(F.array_union("t1", "t2")).cast("double")
+            )
+        ),
+    ).withColumn(
+        "f_lev",
+        F.when(
+            F.col("f_jac") >= F.lit(gate),
+            lev_sim(F.substring("n1", 1, m), F.substring("n2", 1, m)),
+        ).otherwise(F.lit(0.0)),
+    )
+    weights = {"f_lev": cfg.w_lev, "f_jac": cfg.w_jac}
+    if use_cosine:
+        out = out.withColumn("f_cos", cosine_sim("e1", "e2"))
+        weights["f_cos"] = cfg.w_cos
+    total = sum(weights.values())
+    expr = sum((F.col(c) * (w / total) for c, w in weights.items()), F.lit(0.0))
+    return out.withColumn("score", expr)
+
+
+def fused_block_and_score(
+    keys_with_features: DataFrame,
+    cfg: LinkageConfig,
+    id_col: str = "rid",
+    use_cosine: bool = False,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The at-scale pair stage: score INSIDE the blocking-key self-join.
+
+    Input: (rid, key, norm, tokens[, embedding]) — features ride along with
+    the key rows, so the self-join emits fully-featured pairs and the scoring
+    projection runs in the SAME stage; only (id1, id2, key, features, score)
+    ever crosses a stage boundary. This removes the two pair-sized feature
+    joins, whose shuffle payload (norm strings x n_pairs) is what breaks
+    disk-bound scaling — cf. the reference computing pair scores inside the
+    retrieval batch rather than re-gathering embeddings per pair
+    (bela/task/joint_el_task.py:658-712).
+
+    A pair colliding under k blocking keys is scored k times (k <= number of
+    key families + bands); that duplicate CPU is the explicit price for not
+    shuffling pair-sized feature payloads — CPU scales with cores, shuffle
+    disk does not.
+
+    Key-cardinality strategy (all logged in key_log, never silent):
+      n <= hot_key_threshold           plain equi-join (quadratic, exact)
+      hot < n <= mega_key_threshold    salted S^2 grid join (quadratic, exact,
+                                       skew shattered across S^2 tasks)
+      n > mega_key_threshold           sorted-neighborhood chaining: each
+                                       member pairs with its next chain_window
+                                       neighbors (linear). An uninformative
+                                       mega key must not emit O(n^2) junk;
+                                       true mega dup-groups stay connected
+                                       through the chain and CC closes them.
+
+    Returns (scored_by_key, key_log). key_log: (key, n_ids, strategy) for
+    every salted or chained key. Dedup to unique pairs happens after the
+    cheap threshold filter (accept_edges) or via dedup_scored().
+    """
+    from bela_spark.operators.pairs import keyed_with_stats
+
+    feat_cols = ["norm", "tokens"] + (["embedding"] if use_cosine else [])
+    keyed = keyed_with_stats(keys_with_features, cfg, id_col)
+    if persist:
+        keyed = keyed.persist()
+
+    key_log = keyed.filter(
+        (F.col("_rn") == 1) & (F.col("_kn") > cfg.hot_key_threshold)
+    ).select(
+        "key",
+        F.col("_kn").alias("n_ids"),
+        F.when(F.col("_kn") > cfg.mega_key_threshold, F.lit("chained"))
+        .otherwise(F.lit("salted"))
+        .alias("strategy"),
+    )
+
+    short = {"norm": "n", "tokens": "t", "embedding": "e"}
+
+    def side(df, n, extra=()):
+        cols = [F.col(id_col).alias(f"id{n}")] + [
+            F.col(c).alias(f"{short[c]}{n}") for c in feat_cols
+        ]
+        return df.select("key", *cols, *extra)
+
+    # _kn = 1 keys (the vast majority under selective blocking) cannot emit a
+    # pair — drop them before the join so they never shuffle
+    cold = keyed.filter((F.col("_kn") >= 2) & (F.col("_kn") <= cfg.hot_key_threshold))
+    hot = keyed.filter(
+        (F.col("_kn") > cfg.hot_key_threshold) & (F.col("_kn") <= cfg.mega_key_threshold)
+    )
+    mega = keyed.filter(F.col("_kn") > cfg.mega_key_threshold)
+
+    cold_pairs = (
+        side(cold, 1).join(side(cold, 2), "key").filter(F.col("id1") < F.col("id2"))
+    )
+
+    s = cfg.salt_buckets
+    salted = hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(s)))
+    left = salted.withColumn(
+        "_s2", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumnRenamed("_salt", "_s1")
+    right = salted.withColumn(
+        "_s1", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumnRenamed("_salt", "_s2")
+    hot_pairs = (
+        side(left, 1, extra=("_s1", "_s2"))
+        .join(side(right, 2, extra=("_s1", "_s2")), ["key", "_s1", "_s2"])
+        .filter(F.col("id1") < F.col("id2"))
+        .drop("_s1", "_s2")
+    )
+
+    # chaining: member at rank r pairs with ranks r+1..r+w (ids ascend with
+    # rank, so id1 < id2 holds by construction)
+    w = cfg.chain_window
+    chain_left = mega.withColumn(
+        "_rn2", F.explode(F.sequence(F.col("_rn") + 1, F.col("_rn") + w))
+    )
+    mega_pairs = (
+        side(chain_left, 1, extra=("_rn2",))
+        .join(
+            side(mega.withColumnRenamed("_rn", "_rn2"), 2, extra=("_rn2",)),
+            ["key", "_rn2"],
+        )
+        .drop("_rn2")
+    )
+
+    pair_feat = cold_pairs.unionByName(hot_pairs).unionByName(mega_pairs)
+    scored = _score_exprs(pair_feat, cfg, use_cosine)
+    keep = ["id1", "id2", "key", "f_lev", "f_jac", "score"] + (
+        ["f_cos"] if use_cosine else []
+    )
+    return scored.select(*keep), key_log
+
+
+def dedup_scored(scored_by_key: DataFrame) -> DataFrame:
+    """Unique (id1, id2) scored pairs from the per-key scored table. Scores of
+    the same pair are identical across keys (pure function of the records), so
+    max() is just a deterministic pick."""
+    feature_cols = [c for c in scored_by_key.columns if c not in ("id1", "id2", "key")]
+    return scored_by_key.groupBy("id1", "id2").agg(
+        *[F.max(c).alias(c) for c in feature_cols]
+    )

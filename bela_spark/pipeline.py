@@ -21,25 +21,26 @@ from bela_spark.functions.text import record_id
 from bela_spark.functions.vectors import embed_text
 from bela_spark.operators.blocking import blocking_keys, with_record_columns
 from bela_spark.operators.cc import CCResult, connected_components
-from bela_spark.operators.pairs import candidate_pairs_with_drops, distinct_pairs
 from bela_spark.operators.scoring import (
     accept_edges,
     attach_pair_features,
-    score_pairs,
+    dedup_scored,
+    fused_block_and_score,
     score_pairs_batched,
 )
 
 
 @dataclass
 class LinkageRun:
-    records: DataFrame   # rid, content_sha, norm, tokens, (embedding), input cols
-    keys: DataFrame      # rid, key
-    key_drops: DataFrame # key, n_ids, n_dropped (never silent truncation)
-    pairs: DataFrame     # id1, id2, key
-    scored: DataFrame    # id1, id2, features..., score
-    edges: DataFrame     # id1, id2 accepted
+    records: DataFrame        # rid, content_sha, norm, tokens, (embedding), input cols
+    keys: DataFrame           # rid, key
+    key_drops: DataFrame      # key, n_ids, n_dropped (never silent truncation)
+    pairs: DataFrame          # id1, id2, key
+    scored_by_key: DataFrame  # id1, id2, key, features..., score (per blocking key)
+    scored: DataFrame         # id1, id2, features..., score (unique pairs)
+    edges: DataFrame          # id1, id2 accepted
     cc: CCResult
-    clusters: DataFrame  # records + component
+    clusters: DataFrame       # records + cluster_id
 
 
 def prepare_records(
@@ -90,22 +91,47 @@ def run_linkage(
     else:
         base = records
 
-    keys = blocking_keys(base, cfg)
-    pairs, drops = candidate_pairs_with_drops(keys, cfg, persist=persist)
-    uniq = distinct_pairs(pairs)
-
-    feature_cols = ("norm", "tokens") + (
-        ("embedding",) if (use_embeddings or batched_scoring) else ()
+    feature_cols = ["norm", "tokens"] + (
+        ["embedding"] if (use_embeddings or batched_scoring) else []
     )
-    feat = attach_pair_features(uniq, base, feature_cols=feature_cols)
-    if batched_scoring:
-        scored = score_pairs_batched(feat, cfg)
-    else:
-        scored = score_pairs(feat, cfg, use_cosine=use_embeddings)
-    if persist:
-        scored = scored.persist()
+    keys = blocking_keys(base, cfg)
+    # Slim pair-stage features to what scoring actually reads — these rows are
+    # shuffled per (record, key), so every byte here is multiplied by the key
+    # fan-out: norm -> its lev_max_chars prefix (all Levenshtein sees);
+    # tokens -> distinct 32-bit token hashes (set jaccard is hash-collision
+    # tolerant at ~50 tokens, int arrays shuffle and compare ~3x cheaper than
+    # strings; also validates the O(1) size-ratio gate, which needs sets)
+    def _slim(c):
+        if c == "tokens":
+            return F.transform(
+                F.array_distinct("tokens"),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+            ).alias("tokens")
+        if c == "norm":
+            return F.substring("norm", 1, cfg.lev_max_chars).alias("norm")
+        return F.col(c)
 
-    edges = accept_edges(scored, cfg)
+    keys_with_features = keys.join(
+        base.select("rid", *[_slim(c) for c in feature_cols]), "rid"
+    )
+    scored_by_key, drops = fused_block_and_score(
+        keys_with_features, cfg, use_cosine=use_embeddings, persist=persist
+    )
+    pairs = scored_by_key.select("id1", "id2", "key")
+
+    if batched_scoring:
+        # legacy Arrow path: re-attach features to unique pairs, numpy-score
+        uniq = scored_by_key.select("id1", "id2").distinct()
+        feat = attach_pair_features(uniq, base, feature_cols=tuple(feature_cols))
+        scored = score_pairs_batched(feat, cfg)
+        if persist:
+            scored = scored.persist()
+        edges = accept_edges(scored, cfg)
+    else:
+        scored = dedup_scored(scored_by_key)
+        # threshold BEFORE dedup: the accepted-edge set is tiny next to the
+        # scored-pair set, so distinct() runs on the small side
+        edges = accept_edges(scored_by_key, cfg)
     cc = connected_components(
         edges, max_rounds=cfg.max_cc_rounds, checkpoint_dir=cfg.checkpoint_dir
     )
@@ -119,7 +145,9 @@ def run_linkage(
         )
     else:
         clusters = assign_clusters(records, cc.assignments)
-    return LinkageRun(records, keys, drops, pairs, scored, edges, cc, clusters)
+    return LinkageRun(
+        records, keys, drops, pairs, scored_by_key, scored, edges, cc, clusters
+    )
 
 
 def assign_clusters(records: DataFrame, assignments: DataFrame) -> DataFrame:
