@@ -47,11 +47,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": _q.ann_recall_at_k,
         "ann_mrr": _q.ann_mrr,
         "ann_lsh_topk": _q.ann_lsh_topk,
+        "ann_disambiguation_acc": _q.ann_disambiguation_acc,
         # EL query surface
         "el_windows": _q.el_windows,
         "el_interval_merge": _q.el_interval_merge,
         "el_span_f1": _q.el_span_f1,
         "el_boe_f1": _q.el_boe_f1,
+        "el_context_windows": _q.el_context_windows,
+        "el_topk_spans": _q.el_topk_spans,
+        "el_window_regroup": _q.el_window_regroup,
         # text analysis
         "text_token_stats": _q.text_token_stats,
         "text_quality": _q.text_quality,
@@ -59,11 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q.text_fingerprint,
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_index": _q.catalogue_index,
+        "catalogue_multilang": _q.catalogue_multilang,
         # general analytics
         "tpch_pricing_summary": _q.tpch_pricing_summary,
         "tpch_top_customers": _q.tpch_top_customers,
+        "events_type_stats": _q.events_type_stats,
         # UDF-backed (rows-only checks)
         "embed_documents": _q.embed_documents,
+        "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
         "multimodal_features": _q.multimodal_features,
     }
 

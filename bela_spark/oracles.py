@@ -292,6 +292,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_queries
             FROM firsts
         """,
+        "ann_disambiguation_acc": f"WITH {_ANN_RANKED} "
+        + """
+            SELECT floor(avg(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) * 1000000)
+                     / 1000000 AS accuracy,
+                   count(*)::BIGINT AS n_queries
+            FROM ranked r
+            JOIN e la ON la.vec_id = r.vec_id
+            JOIN e lb ON lb.vec_id = r.neighbor_id
+            WHERE r.rank = 1
+        """,
+        "catalogue_multilang": """
+            WITH counts AS (
+              SELECT lang, source, count(*)::BIGINT AS n
+              FROM documents GROUP BY lang, source
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, source ASC) AS rn
+              FROM counts
+            )
+            SELECT lang, source AS top_source, n AS n_docs FROM r WHERE rn = 1
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   floor(avg(value) * 1000000) / 1000000 AS avg_value,
+                   min(user_id) AS min_user, max(user_id) AS max_user
+            FROM events GROUP BY event_type
+        """,
         # --- EL surface ------------------------------------------------------
         "el_windows": """
             WITH starts AS (
@@ -409,6 +437,48 @@ def oracle_sql() -> dict[str, str]:
                    floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
                    floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
             FROM agg
+        """,
+        "el_context_windows": """
+            SELECT doc_id,
+                   substr(text, greatest((doc_id % 20 + 1) - 20, 1)::INT,
+                          ((doc_id % 20 + 1) - greatest((doc_id % 20 + 1) - 20, 1))::INT)
+                     AS context_left,
+                   substr(text, (doc_id % 20 + 1)::INT, 5) AS mention,
+                   substr(text, (doc_id % 20 + 1 + 5)::INT, 20) AS context_right
+            FROM documents
+        """,
+        "el_topk_spans": """
+            WITH offs AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(length(text) - 5, 1), 3)) AS o
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, o AS "offset", 3 + (o % 4) AS length,
+                     ((doc_id * 7 + o) % 100) / 100.0 AS score
+              FROM offs
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, "offset" ASC) AS rank
+              FROM spans
+            )
+            SELECT doc_id, "offset"::BIGINT AS offset, length::BIGINT AS length,
+                   floor(score * 1000000) / 1000000 AS score, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3 AND (score > 0.5 OR rank = 1)
+        """,
+        "el_window_regroup": """
+            WITH starts AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text), 1), 50)) AS s
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, s, substr(text, s::INT, 100) AS win_text FROM starts
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_windows,
+                   md5(string_agg(win_text, '|' ORDER BY s)) AS windows_md5
+            FROM wins GROUP BY doc_id
         """,
         # --- text analysis ---------------------------------------------------
         "text_token_stats": f"WITH {_BASE} "

@@ -429,6 +429,97 @@ def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_disambiguation_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (metrics_disambiguation, scripts/evaluate.py:92-106): top-1 neighbor
+    label == query label, averaged over all queries."""
+    e = _emb(spark, sf_dir)
+    top1 = brute_force_topk(e, e, k=1)
+    lab = e.select("vec_id", "label")
+    j = (
+        top1.join(lab, "vec_id")
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel"),
+            "neighbor_id",
+        )
+        .withColumn("hit", (F.col("label") == F.col("nlabel")).cast("int"))
+    )
+    return j.agg(
+        f6(F.avg("hit")).alias("accuracy"), F.count("*").cast("bigint").alias("n_queries")
+    )
+
+
+def catalogue_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A7 (MultilangEntityCatalogue, mblink/utils/utils.py:80-136): per
+    lang pick the source with the max doc count (max-count selection with a
+    deterministic tie-break)."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"), F.col("n").cast("bigint").alias("n_docs"))
+    )
+
+
+def el_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (prepare_mention, mblink/transforms/blink_transform.py:41-78):
+    budget-split left/right context around a mention span."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    m = (F.col("doc_id") % 20 + 1).cast("int")
+    left_start = F.greatest(m - 20, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.substring(F.col("text"), left_start, m - left_start).alias("context_left"),
+        F.substring(F.col("text"), m, 5).alias("mention"),
+        F.substring(F.col("text"), m + 5, 20).alias("context_right"),
+    )
+
+
+def el_topk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (prune_ctxt_mentions, joint_el_task.py:307-434): top-3 spans per doc
+    above threshold 0.5, best span always kept."""
+    spans = _synth_spans(spark, sf_dir)
+    out = el_ops.topk_spans(spans, k=3, threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("length").cast("bigint").alias("length"),
+        f6("score").alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def el_window_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (group_predictions_by_example, bela/utils/prediction_utils.py:47-72):
+    regroup exploded windows per document in offset order."""
+    wins = el_ops.document_windows(_docs(spark, sf_dir), 100, 50)
+    grouped = wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("win_start", "win_text"))),
+                    lambda s: s["win_text"],
+                ),
+            )
+        ).alias("windows_md5"),
+    )
+    return grouped.select("doc_id", F.col("n_windows").cast("bigint").alias("n_windows"), "windows_md5")
+
+
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan/agg breadth on the events table (S-family)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        f6(F.avg("value")).alias("avg_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------
@@ -528,6 +619,31 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: Arrow-batched deterministic text embeddings (pandas UDF)."""
     r = _records(spark, sf_dir)
     return r.select("doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding"))
+
+
+def er_scored_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E5+E8: candidate pairs scored with the cosine of pandas-UDF text
+    embeddings blended with lev/jaccard (the full bi-encoder-style scorer;
+    rows-only check — the UDF kernel has no SQL twin)."""
+    from bela_spark.functions.vectors import cosine_sim
+
+    emb = embed_documents(spark, sf_dir)
+    pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
+    scored = _scored_pairs(spark, sf_dir).select("id1", "id2", "f_lev", "f_jac")
+    j = (
+        pairs.join(scored, ["id1", "id2"])
+        .join(emb.select(F.col("doc_id").alias("id1"), F.col("embedding").alias("e1")), "id1")
+        .join(emb.select(F.col("doc_id").alias("id2"), F.col("embedding").alias("e2")), "id2")
+        .withColumn("f_cos", cosine_sim("e1", "e2"))
+        .withColumn(
+            "score",
+            CFG.w_lev * F.col("f_lev") + CFG.w_jac * F.col("f_jac") + CFG.w_cos * F.col("f_cos"),
+        )
+    )
+    return j.select(
+        "id1", "id2", f6("f_lev").alias("f_lev"), f6("f_jac").alias("f_jac"),
+        f6("f_cos").alias("f_cos"), f6("score").alias("score"),
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
