@@ -74,17 +74,80 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
     return j + prefix * p * (1.0 - j)
 
 
+JW_MAX_CHARS = 32  # bounded-prefix JW, same bound philosophy as lev_max_chars
+
+
+def jaro_winkler_batch(
+    a, b, p: float = 0.1, max_prefix: int = 4, max_chars: int = JW_MAX_CHARS
+) -> np.ndarray:
+    """Numpy-vectorized Jaro-Winkler over two string sequences.
+
+    Strings are truncated to max_chars (bounded-prefix feature, like
+    lev_max_chars) and packed into (N, L) UCS4 code matrices via numpy's
+    fixed-width unicode dtype — no per-row Python. The greedy Jaro matching
+    loop runs over the L character POSITIONS (<= 32 iterations), each step a
+    whole-batch boolean matrix op; transpositions use cumsum-rank scatter.
+    Agrees exactly with the scalar `jaro_winkler` for inputs <= max_chars
+    (tests/test_functions.py pins this on random strings).
+    """
+    L = max_chars
+    A = np.asarray(list(a), dtype=f"U{L}")
+    B = np.asarray(list(b), dtype=f"U{L}")
+    n = len(A)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ca = A.view(np.uint32).reshape(n, L)
+    cb = B.view(np.uint32).reshape(n, L)
+    la = (ca != 0).sum(1)
+    lb = (cb != 0).sum(1)
+    mw = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    idx = np.arange(L)
+    m1 = np.zeros((n, L), dtype=bool)
+    m2 = np.zeros((n, L), dtype=bool)
+    for i in range(L):
+        lo = np.maximum(0, i - mw)
+        hi = np.minimum(lb, i + mw + 1)
+        cand = (
+            (cb == ca[:, i : i + 1])
+            & (ca[:, i : i + 1] != 0)
+            & (idx >= lo[:, None])
+            & (idx < hi[:, None])
+            & ~m2
+        )
+        has = cand.any(1)
+        j = cand.argmax(1)
+        m2[has, j[has]] = True
+        m1[has, i] = True
+    matches = m1.sum(1)
+    # k-th matched char of s1 vs k-th matched char of s2 (rank scatter)
+    r1 = np.cumsum(m1, axis=1) - 1
+    r2 = np.cumsum(m2, axis=1) - 1
+    g1 = np.zeros((n, L), dtype=np.uint32)
+    g2 = np.zeros((n, L), dtype=np.uint32)
+    rows1, cols1 = np.nonzero(m1)
+    g1[rows1, r1[rows1, cols1]] = ca[rows1, cols1]
+    rows2, cols2 = np.nonzero(m2)
+    g2[rows2, r2[rows2, cols2]] = cb[rows2, cols2]
+    t = ((g1 != g2) & (g1 != 0)).sum(1) // 2
+    safe_la = np.maximum(la, 1)
+    safe_lb = np.maximum(lb, 1)
+    safe_m = np.maximum(matches, 1)
+    jaro = np.where(
+        matches > 0,
+        (matches / safe_la + matches / safe_lb + (matches - t) / safe_m) / 3.0,
+        0.0,
+    )
+    jaro = np.where((la == 0) | (lb == 0), 0.0, jaro)
+    jaro = np.where((ca == cb).all(1), 1.0, jaro)  # identical (incl. both empty)
+    pref_eq = (ca[:, :max_prefix] == cb[:, :max_prefix]) & (ca[:, :max_prefix] != 0)
+    cp = np.cumprod(pref_eq, axis=1).sum(1)
+    return jaro + cp * p * (1.0 - jaro)
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler over string pairs.
-
-    Batch-at-a-time (Arrow transfer, one Python call per ~10k rows) — the slow
-    path the north rule permits, never row-at-a-time Python UDF.
-    """
-    out = np.empty(len(a), dtype=np.float64)
-    av = a.to_numpy(dtype=object)
-    bv = b.to_numpy(dtype=object)
-    for i in range(len(a)):
-        x, y = av[i], bv[i]
-        out[i] = jaro_winkler(x or "", y or "")
-    return pd.Series(out)
+    """Arrow-batched, numpy-vectorized Jaro-Winkler over string pairs —
+    whole-batch matrix kernels, no per-row Python inside the batch."""
+    return pd.Series(
+        jaro_winkler_batch(a.fillna("").to_numpy(dtype=object), b.fillna("").to_numpy(dtype=object))
+    )

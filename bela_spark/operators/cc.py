@@ -97,8 +97,14 @@ def _persist_round(spark, edges: DataFrame, ckpt: str, n: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _write_manifest(df: DataFrame, ckpt: str, n: int, sig: tuple[int, int]) -> None:
-    """Per-round manifest with per-partition lineage/metrics (north rule)."""
+def _write_manifest(
+    df: DataFrame, ckpt: str, n: int, sig: tuple[int, int], input_sig: tuple[int, int]
+) -> None:
+    """Per-round manifest with per-partition lineage/metrics (north rule).
+
+    input_sig binds every round to the canonical INPUT edge set, so a resume
+    against different input is detected instead of silently returning the
+    previous run's components."""
     parts = (
         df.groupBy(F.spark_partition_id().alias("partition"))
         .agg(F.count("*").alias("n_rows"))
@@ -108,10 +114,20 @@ def _write_manifest(df: DataFrame, ckpt: str, n: int, sig: tuple[int, int]) -> N
         "round": n,
         "n_edges": sig[0],
         "edge_set_hash": sig[1],
+        "input_sig": list(input_sig),
         "partitions": {int(r["partition"]): int(r["n_rows"]) for r in parts},
     }
     with open(os.path.join(ckpt, f"manifest_round_{n}.json"), "w") as f:
         json.dump(manifest, f)
+
+
+def _manifest_input_sig(ckpt: str, n: int) -> tuple[int, int] | None:
+    try:
+        with open(os.path.join(ckpt, f"manifest_round_{n}.json")) as f:
+            sig = json.load(f).get("input_sig")
+        return (int(sig[0]), int(sig[1])) if sig else None
+    except (OSError, ValueError, TypeError):
+        return None
 
 
 def latest_round(ckpt: str) -> int | None:
@@ -144,26 +160,44 @@ def connected_components(
     spark = edges.sparkSession
     cur = _canonical(edges)
     start_round = 0
+    input_sig: tuple[int, int] | None = None
 
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         if resume:
             lr = latest_round(checkpoint_dir)
             if lr is not None:
-                cur = spark.read.parquet(_round_dir(checkpoint_dir, lr))
-                start_round = lr + 1
+                # resume is only valid for the SAME input edge set: compare
+                # the current input's signature with the one bound into the
+                # checkpointed manifests; on mismatch (or a pre-signature
+                # checkpoint) fall back to a fresh run rather than silently
+                # returning the previous run's components
+                recorded = _manifest_input_sig(checkpoint_dir, lr)
+                input_sig = _signature(cur)
+                if recorded == input_sig:
+                    cur = spark.read.parquet(_round_dir(checkpoint_dir, lr))
+                    start_round = lr + 1
+                else:
+                    print(
+                        f"[cc] checkpoint at {checkpoint_dir} was built from a "
+                        f"different input edge set (recorded={recorded}, "
+                        f"current={input_sig}); starting a fresh run"
+                    )
 
     # materialize BEFORE computing the signature so the (possibly expensive)
     # upstream scoring DAG runs exactly once
     if checkpoint_dir and start_round == 0:
         cur = _persist_round(spark, cur, checkpoint_dir, 0)
         prev_sig = _signature(cur)
-        _write_manifest(cur, checkpoint_dir, 0, prev_sig)
+        input_sig = prev_sig
+        _write_manifest(cur, checkpoint_dir, 0, prev_sig, input_sig)
         start_round = 1
     else:
         if not checkpoint_dir:
             cur = cur.localCheckpoint()
         prev_sig = _signature(cur)
+        if input_sig is None:
+            input_sig = prev_sig
 
     converged = False
     rounds_done = start_round - 1 if checkpoint_dir else 0
@@ -172,7 +206,7 @@ def connected_components(
         if checkpoint_dir:
             nxt = _persist_round(spark, nxt, checkpoint_dir, rnd)
             sig = _signature(nxt)
-            _write_manifest(nxt, checkpoint_dir, rnd, sig)
+            _write_manifest(nxt, checkpoint_dir, rnd, sig, input_sig)
         else:
             nxt = nxt.localCheckpoint()
             sig = _signature(nxt)

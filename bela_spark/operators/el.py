@@ -62,17 +62,19 @@ def merge_overlapping_spans(
     sweep spans by offset; overlapping runs collapse to the member with the
     highest score (ties -> smallest offset, then longest).
 
-    Classic interval-merge: session id = running count of gap starts, then
-    max_by(struct) per session. Requires (doc_id, offset, length, score).
-    """
+    Exact reference chaining: merge_predictions updates current_end to EACH
+    incoming span's end even when that span loses the score comparison
+    (prediction_utils.py:119 runs unconditionally), so a run breaks when a
+    span starts at/after the end of the span immediately before it in sweep
+    order — lag(end), not a running max. Requires (doc_id, offset, length,
+    score)."""
     w_order = W.partitionBy(id_col).orderBy("offset", F.desc("length"))
-    w_prev = w_order.rowsBetween(W.unboundedPreceding, -1)
     with_gap = spans.withColumn(
-        "prev_max_end", F.max(F.col("offset") + F.col("length")).over(w_prev)
+        "prev_end", F.lag(F.col("offset") + F.col("length")).over(w_order)
     ).withColumn(
         "is_new_session",
         F.when(
-            F.col("prev_max_end").isNull() | (F.col("offset") >= F.col("prev_max_end")), 1
+            F.col("prev_end").isNull() | (F.col("offset") >= F.col("prev_end")), 1
         ).otherwise(0),
     )
     with_session = with_gap.withColumn(

@@ -30,11 +30,17 @@ FEATURE_SCHEMA = (
 def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic fake media table: payload = utf-8 bytes of the text,
     metadata derived from its length. Stands in for real image/audio blobs."""
+    # kind is md5-derived (not xxhash64) so the DuckDB oracle reproduces it:
+    # first 15 hex chars of md5(id) as a 60-bit int, mod 3
+    kind_idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(3),
+    )
     return docs.select(
         F.concat(F.lit("m"), F.col(id_col).cast("string")).alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+            (kind_idx + 1).cast("int"),
         ).alias("kind"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.struct(

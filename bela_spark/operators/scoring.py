@@ -84,7 +84,7 @@ def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
 
     Input must carry norm_1/2, tokens_1/2, embedding_1/2.
     """
-    from bela_spark.functions.strings import jaro_winkler
+    from bela_spark.functions.strings import jaro_winkler_batch
 
     m = cfg.lev_max_chars
     gate = jaccard_gate(cfg, use_cosine=True)
@@ -120,10 +120,9 @@ def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
             n1 = np.maximum(np.linalg.norm(e1, axis=1), 1e-12)
             n2 = np.maximum(np.linalg.norm(e2, axis=1), 1e-12)
             cos = np.einsum("ij,ij->i", e1, e2) / (n1 * n2)
-            jw = np.fromiter(
-                (jaro_winkler(x or "", y or "") for x, y in zip(b["norm_1"], b["norm_2"])),
-                dtype=np.float64,
-                count=len(b),
+            jw = jaro_winkler_batch(
+                b["norm_1"].fillna("").to_numpy(dtype=object),
+                b["norm_2"].fillna("").to_numpy(dtype=object),
             )
             score = (w_l * b["f_lev"].to_numpy() + w_j * b["f_jac"].to_numpy() + w_c * cos) / tot
             yield pd.DataFrame(

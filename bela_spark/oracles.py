@@ -342,13 +342,12 @@ def oracle_sql() -> dict[str, str]:
               FROM offs
             ),
             w1 AS (
-              SELECT *, max("offset" + length) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+              SELECT *, lag("offset" + length) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
               FROM spans
             ),
             w2 AS (
-              SELECT *, CASE WHEN prev_max_end IS NULL OR "offset" >= prev_max_end
+              SELECT *, CASE WHEN prev_end IS NULL OR "offset" >= prev_end
                              THEN 1 ELSE 0 END AS is_new FROM w1
             ),
             w3 AS (
@@ -555,6 +554,70 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # --- UDF-kernel digest twins ------------------------------------------
+        # embed_documents: replays the pandas-UDF feature-hashing kernel
+        # (functions/vectors.py:_hash_embed_batch) in SQL. h = first 8 bytes of
+        # md5('seed:tok') big-endian (= first 16 hex chars as UBIGINT);
+        # bucket = h % dim; sign vote = +1 if bit 32 of h else -1. Bucket sums
+        # are integer-exact, so the per-bucket sign pattern digests identically.
+        "embed_documents": f"WITH {_BASE} "
+        + """,
+            occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            hs AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || tok), 1, 16))::UBIGINT AS h
+              FROM occ
+            ),
+            votes AS (
+              SELECT doc_id, (h % 64)::INT AS bucket,
+                     sum(CASE WHEN (h // 4294967296) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hs GROUP BY doc_id, (h % 64)::INT
+            ),
+            grid AS (
+              SELECT d.doc_id, g.i
+              FROM (SELECT DISTINCT doc_id FROM documents) d,
+                   (SELECT unnest(generate_series(0, 63)) AS i) g
+            ),
+            sgn AS (
+              SELECT g.doc_id, g.i,
+                     coalesce(CASE WHEN v.v > 0 THEN 1 WHEN v.v < 0 THEN -1
+                                   ELSE 0 END, 0) AS s
+              FROM grid g LEFT JOIN votes v ON v.doc_id = g.doc_id AND v.bucket = g.i
+            ),
+            agg AS (
+              SELECT doc_id,
+                     md5(string_agg(i::VARCHAR || ':' || s::VARCHAR, ',' ORDER BY i))
+                       AS sign_digest,
+                     max(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS any_nonzero
+              FROM sgn GROUP BY doc_id
+            )
+            SELECT doc_id, 64::BIGINT AS dim,
+                   (CASE WHEN any_nonzero = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE AS l2_norm,
+                   sign_digest
+            FROM agg
+        """,
+        # multimodal_features: payload = utf-8 bytes of text, so md5/sha256 of
+        # the VARCHAR replay the Python hashlib calls; the stub feature vector
+        # is the first 8 md5 bytes / 255, so its byte sum is integer-exact.
+        "multimodal_features": """
+            WITH f AS (
+              SELECT 'm' || doc_id::VARCHAR AS media_id,
+                     ['image','audio','video'][
+                       ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3) + 1)::INT
+                     ] AS kind,
+                     octet_length(encode(text))::BIGINT AS n_bytes,
+                     sha256(text) AS payload_sha,
+                     md5(text) AS h
+              FROM documents
+            )
+            SELECT media_id, kind, n_bytes, payload_sha, 8::BIGINT AS feature_dim,
+                   (('0x' || substr(h, 1, 2))::BIGINT + ('0x' || substr(h, 3, 2))::BIGINT
+                    + ('0x' || substr(h, 5, 2))::BIGINT + ('0x' || substr(h, 7, 2))::BIGINT
+                    + ('0x' || substr(h, 9, 2))::BIGINT + ('0x' || substr(h, 11, 2))::BIGINT
+                    + ('0x' || substr(h, 13, 2))::BIGINT + ('0x' || substr(h, 15, 2))::BIGINT
+                   )::BIGINT AS feature_byte_sum
+            FROM f
         """,
         "tpch_top_customers": """
             WITH agg AS (

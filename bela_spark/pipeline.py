@@ -103,9 +103,14 @@ def run_linkage(
     # strings; also validates the O(1) size-ratio gate, which needs sets)
     def _slim(c):
         if c == "tokens":
-            return F.transform(
-                F.array_distinct("tokens"),
-                lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+            # outer array_distinct: a 2^31-bucket hash collision can merge two
+            # distinct tokens, and the O(1) size-ratio gate in scoring is only
+            # exact over genuine sets — dedup AFTER hashing keeps it airtight
+            return F.array_distinct(
+                F.transform(
+                    F.array_distinct("tokens"),
+                    lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+                )
             ).alias("tokens")
         if c == "norm":
             return F.substring("norm", 1, cfg.lev_max_chars).alias("norm")

@@ -616,9 +616,37 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: Arrow-batched deterministic text embeddings (pandas UDF)."""
+    """E1: Arrow-batched deterministic text embeddings (pandas UDF).
+
+    Output is digest-shaped (the driver canonicalizer can't sort raw array
+    columns): dim + l2 norm + an md5 over the per-bucket sign pattern. The
+    sign pattern is integer-exact (each bucket is a sum of +/-1 votes), so the
+    DuckDB oracle replays the md5 feature-hashing kernel bit-for-bit and this
+    query is fully oracle-checked despite the pandas-UDF kernel.
+    """
+    from bela_spark.functions.vectors import l2_norm
+
     r = _records(spark, sf_dir)
-    return r.select("doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding"))
+    emb = r.select(
+        "doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding")
+    )
+    sign_parts = F.transform(
+        "embedding",
+        lambda v, i: F.concat_ws(
+            ":",
+            i.cast("string"),
+            F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0)).cast("string"),
+        ),
+    )
+    return emb.select(
+        "doc_id",
+        F.lit(CFG.embedding_dim).cast("bigint").alias("dim"),
+        # round (not floor): the embedding is L2-normalized, so the norm is
+        # 1.0 up to float error; round(., 6) lands exactly on the oracle's
+        # analytic 1.0 / 0.0
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.md5(F.concat_ws(",", sign_parts)).alias("sign_digest"),
+    )
 
 
 def er_scored_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +675,24 @@ def er_scored_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: synth media -> mapInPandas feature extraction."""
+    """Binary-payload plumbing: synth media -> mapInPandas feature extraction.
+
+    The raw float feature vector is digested to integer columns (dim + byte
+    sum) so the driver canonicalizer can sort the output AND the DuckDB
+    oracle can replay the md5-derived stub kernel exactly.
+    """
     media = synth_media(_docs(spark, sf_dir))
-    return extract_features(media)
+    feats = extract_features(media)
+    byte_sum = F.aggregate(
+        F.transform("feature", lambda v: F.round(v * 255).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "payload_sha",
+        F.size("feature").cast("bigint").alias("feature_dim"),
+        byte_sum.alias("feature_byte_sum"),
+    )

@@ -62,11 +62,22 @@ class IncrementalLinkage:
             "content_sha string, norm string, tokens array<string>"
         )
         existing = self._existing(spark, self.records_dir, rec_schema)
-        # state ∪ batch, batch-first dedup on rid (idempotent replay);
-        # localCheckpoint decouples the plan from the state files so the
-        # overwrite of records_dir below can't invalidate lazy readers
+        # state ∪ batch with an EXPLICIT batch-first preference: a replayed
+        # batch carrying changed content for an existing rid must
+        # deterministically win over the stored row (dropDuplicates alone
+        # keeps an arbitrary one). localCheckpoint decouples the plan from
+        # the state files so the overwrite of records_dir below can't
+        # invalidate lazy readers.
+        from pyspark.sql import Window as W
+
+        prio = W.partitionBy("rid").orderBy("_prio")
         all_records = (
-            new_records.unionByName(existing).dropDuplicates(["rid"]).localCheckpoint()
+            new_records.withColumn("_prio", F.lit(0))
+            .unionByName(existing.withColumn("_prio", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(prio))
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+            .localCheckpoint()
         )
 
         keys = blocking_keys(all_records, cfg)

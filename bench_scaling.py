@@ -55,9 +55,11 @@ def worker(cpus: int, rows: int) -> None:
             base_df.select(
                 "rid",
                 F.substring("norm", 1, cfg.lev_max_chars).alias("norm"),
-                F.transform(
-                    F.array_distinct("tokens"),
-                    lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+                F.array_distinct(
+                    F.transform(
+                        F.array_distinct("tokens"),
+                        lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+                    )
                 ).alias("tokens"),
             ),
             "rid",

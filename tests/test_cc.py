@@ -73,6 +73,23 @@ def test_checkpoint_and_resume(spark, tmp_path):
     assert _comp_map(resumed) == want
 
 
+def test_resume_rejects_different_input(spark, tmp_path):
+    """Resuming against a DIFFERENT input edge set must not return the stale
+    checkpoint's components (manifest input_sig binding, ADVICE r1)."""
+    ckpt = str(tmp_path / "cc2")
+    e1 = _edges(spark, [("a", "b"), ("c", "d")])
+    first = connected_components(e1, checkpoint_dir=ckpt)
+    assert _comp_map(first) == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    with open(os.path.join(ckpt, "manifest_round_0.json")) as f:
+        assert "input_sig" in json.load(f)
+
+    # new input joins the two components; a stale resume would miss the edge
+    e2 = _edges(spark, [("a", "b"), ("c", "d"), ("b", "c")])
+    second = connected_components(e2, checkpoint_dir=ckpt, resume=True)
+    assert set(_comp_map(second).values()) == {"a"}
+
+
 def test_empty_edges(spark):
     e = spark.createDataFrame([], "id1 string, id2 string")
     res = connected_components(e)

@@ -50,6 +50,19 @@ def test_merge_overlapping_spans_golden(spark):
     assert out == {("d1", 4, 0.9), ("d1", 20, 0.5), ("d2", 2, 0.1)}
 
 
+def test_merge_chained_overlap_reference_parity(spark):
+    """merge_predictions updates current_end to EACH span's end even when the
+    span is discarded (prediction_utils.py:119): A=[1,10) keeps the run, but
+    B=[5,8) resets the chain end to 8, so C at offset 9 STARTS A NEW RUN even
+    though it overlaps A. A running-max merge would swallow C."""
+    spans = spark.createDataFrame(
+        [("d", 1, 9, 0.9), ("d", 5, 3, 0.2), ("d", 9, 2, 0.5)],
+        ["doc_id", "offset", "length", "score"],
+    )
+    out = {(r["offset"], r["score"]) for r in merge_overlapping_spans(spans).collect()}
+    assert out == {(1, 0.9), (9, 0.5)}
+
+
 def test_span_match_strong_semantics(spark):
     pred = spark.createDataFrame(
         [("d", 0, 3, "E1"), ("d", 10, 3, "E2"), ("d", 20, 3, "E9")],

@@ -48,6 +48,26 @@ def test_jaro_winkler_golden():
     assert jaro_winkler("", "x") == 0.0
 
 
+def test_jaro_winkler_batch_matches_scalar():
+    """The vectorized batch kernel must agree exactly with the scalar
+    reference implementation on random strings (within the 32-char bound)."""
+    import random
+
+    from bela_spark.functions.strings import jaro_winkler_batch
+
+    rng = random.Random(7)
+    alpha = "abcdef "
+    cases = [("", ""), ("", "a"), ("a", ""), ("same", "same"),
+             ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX")]
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        cases.append((a, b))
+    got = jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+    for (a, b), g in zip(cases, got):
+        assert g == pytest.approx(jaro_winkler(a, b), abs=1e-12), (a, b)
+
+
 def test_dot_and_cosine_match_numpy(spark):
     a = [1.0, 2.0, 3.0]
     b = [4.0, -5.0, 6.0]
