@@ -9,6 +9,14 @@ totally ordered.
 
 from __future__ import annotations
 
+def _simhash_block_values(bits: int, max_hamming: int) -> str:
+    """VALUES rows (i, shift, mask) mirroring operators.dedup.simhash_blocks —
+    the oracle replays the exact same bit-block keys."""
+    from bela_spark.operators.dedup import simhash_blocks
+
+    return "VALUES " + ", ".join(f"({i}, {s}, {m})" for i, s, m in simhash_blocks(bits, max_hamming))
+
+
 # Shared fragments ----------------------------------------------------------
 
 _BASE = """
@@ -212,17 +220,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, coalesce(fp0.simhash, 0)::BIGINT AS simhash
               FROM documents d LEFT JOIN fp0 USING (doc_id)
             ),
+            bdef(i, s, m) AS ({simhash_block_values}),
             halves AS (
-              SELECT doc_id, simhash, 'lo:' || (simhash % 65536)::VARCHAR AS hkey FROM fp
-              UNION ALL
-              SELECT doc_id, simhash, 'hi:' || (simhash // 65536)::VARCHAR AS hkey FROM fp
+              SELECT doc_id, simhash,
+                     'b' || i::VARCHAR || ':' || ((simhash >> s) & m)::VARCHAR AS hkey
+              FROM fp, bdef
             )
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
             FROM halves a JOIN halves b USING (hkey)
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 6
-        """,
+        """.format(simhash_block_values=_simhash_block_values(32, 6)),
         "dedup_ngram_jaccard": f"WITH {_PAIRS} "
         + """,
             dsh AS (

@@ -62,6 +62,40 @@ def test_simhash_near_pairs_blocked_join(spark):
     assert out == {("a", "b"): 0}
 
 
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: blocking on max_hamming+1 bit-blocks must
+    recover EVERY pair with hamming <= max_hamming (r1 shipped 2 halves,
+    which only guarantees hamming <= 1). Brute-force join is the oracle."""
+    import random
+
+    rng = random.Random(42)
+    vals = [rng.getrandbits(32) for _ in range(40)]
+    # plant pairs at every hamming distance 1..8 (flip d distinct bits)
+    for d in range(1, 9):
+        base = rng.getrandbits(32)
+        flipped = base
+        for bit in rng.sample(range(32), d):
+            flipped ^= 1 << bit
+        vals += [base, flipped]
+    fp = spark.createDataFrame(
+        [(f"r{i:03d}", v) for i, v in enumerate(vals)], "rid string, simhash long"
+    )
+    for max_h in (3, 6):
+        blocked = {
+            (r["id1"], r["id2"], r["hamming"])
+            for r in simhash_near_pairs(fp, max_hamming=max_h).collect()
+        }
+        ham = lambda x, y: bin(x ^ y).count("1")
+        ids = [f"r{i:03d}" for i in range(len(vals))]
+        brute = {
+            (ids[i], ids[j], ham(vals[i], vals[j]))
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+            if ham(vals[i], vals[j]) <= max_h
+        }
+        assert blocked == brute, f"max_hamming={max_h}: {brute - blocked}"
+
+
 def test_ngram_jaccard_exact_value(spark):
     # identical shingle sets collide on every LSH band deterministically;
     # the near-miss value math itself is pinned by the DuckDB oracle
