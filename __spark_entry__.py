@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_minhash_signatures": _q.er_minhash_signatures,
         "er_lsh_band_keys": _q.er_lsh_band_keys,
         "er_candidate_pairs": _q.er_candidate_pairs,
+        "er_key_drops": _q.er_key_drops,
         "er_scored_pairs": _q.er_scored_pairs,
         "er_edges": _q.er_edges,
         "er_clusters": _q.er_clusters,
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": _q.ann_recall_at_k,
         "ann_mrr": _q.ann_mrr,
         "ann_lsh_topk": _q.ann_lsh_topk,
+        "ann_lsh_recall": _q.ann_lsh_recall,
         "ann_disambiguation_acc": _q.ann_disambiguation_acc,
         # EL query surface
         "el_windows": _q.el_windows,
@@ -55,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_boe_f1": _q.el_boe_f1,
         "el_context_windows": _q.el_context_windows,
         "el_topk_spans": _q.el_topk_spans,
+        "el_candidate_spans": _q.el_candidate_spans,
+        "el_detect_f1": _q.el_detect_f1,
         "el_window_regroup": _q.el_window_regroup,
         # text analysis
         "text_token_stats": _q.text_token_stats,

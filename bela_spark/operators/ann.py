@@ -71,12 +71,18 @@ def lsh_bucket_keys(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id, key): sign-pattern bucket per hash table (random hyperplane LSH).
 
     n_tables independent tables = multi-probe OR construction for recall.
     The planes are literal arrays in the plan — broadcast for free, evaluated
     by zip_with/aggregate inside codegen, no UDF.
+
+    bucket_cap bounds every bucket to its `bucket_cap` lowest ids (one window
+    pass on the bucket key): the downstream self-join emits at most cap^2 rows
+    per bucket — the skew bound that makes the 100-TB plan straggler-free
+    without salting. Deterministic (lowest ids win) so a SQL oracle replays it.
     """
     out = None
     for t in range(n_tables):
@@ -90,6 +96,13 @@ def lsh_bucket_keys(
             F.concat(F.lit(f"t{t}:"), *bits).alias("key"),
         )
         out = keys if out is None else out.unionByName(keys)
+    if bucket_cap is not None:
+        w = W.partitionBy("key").orderBy(id_col)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     return out
 
 
@@ -102,9 +115,12 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from shared LSH buckets, exact rerank."""
-    keys = lsh_bucket_keys(embedded, n_planes, n_tables, dim, seed, id_col, emb_col)
+    keys = lsh_bucket_keys(
+        embedded, n_planes, n_tables, dim, seed, id_col, emb_col, bucket_cap
+    )
     e = embedded.select(F.col(id_col), F.col(emb_col))
     cand = (
         keys.withColumnRenamed(id_col, "vec_id")
@@ -121,6 +137,20 @@ def lsh_topk(
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_recall_vs_brute(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
+    """One row (recall, n_exact, n_hit): fraction of exact top-k edges the
+    approximate index recovered — the CORRECTNESS companion that keeps the
+    scale path honest against the brute-force anchor."""
+    ex = exact_topk.select("vec_id", "neighbor_id")
+    ap = approx_topk.select("vec_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = ex.join(ap, ["vec_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) / F.count("*")).alias("recall"),
+    )
 
 
 def recall_at_k(topk: DataFrame, labels: DataFrame, ks: tuple[int, ...] = (1, 5, 10)) -> DataFrame:

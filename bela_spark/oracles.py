@@ -9,6 +9,57 @@ totally ordered.
 
 from __future__ import annotations
 
+# LSH blocking configs shared verbatim by the Spark queries (queries.py
+# imports these) and the SQL twins below — one source of truth for the plane
+# constants and bucket caps.
+NEARDUP_LSH = dict(n_planes=6, n_tables=8, dim=64, seed=42, bucket_cap=64)
+ANN_LSH = dict(n_planes=8, n_tables=4, dim=64, seed=42, bucket_cap=64)
+
+
+def _lsh_keys_sql(
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    bucket_cap: int,
+    id_col: str = "vec_id",
+    src: str = "e",
+) -> str:
+    """CTE chain computing the SAME capped LSH bucket keys as
+    operators.ann.lsh_bucket_keys: the md5-derived hyperplanes become literal
+    DOUBLE[] VALUES (repr round-trips exactly), the sign test is
+    list_inner_product >= 0 (bit-identical to the Spark zip_with/aggregate
+    sequential sum), the cap is the same lowest-ids-win row_number.
+    Expects a prior CTE `{src}` with ({id_col}, emb DOUBLE[])."""
+    from bela_spark.operators.ann import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, vals in enumerate(_hyperplanes(n_planes, dim, seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+            rows.append(f"({t}, {p}, {arr})")
+    values = ",\n      ".join(rows)
+    return f"""
+    planes(t, p, vals) AS (VALUES {values}),
+    bits AS (
+      SELECT s.{id_col}, pl.t, pl.p,
+             CASE WHEN list_inner_product(s.emb, pl.vals) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM {src} s, planes pl
+    ),
+    bkeys0 AS (
+      SELECT {id_col}, 't' || t::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS key
+      FROM bits GROUP BY {id_col}, t
+    ),
+    bkeys AS (
+      SELECT {id_col}, key FROM (
+        SELECT {id_col}, key,
+               row_number() OVER (PARTITION BY key ORDER BY {id_col}) AS rn
+        FROM bkeys0) WHERE rn <= {bucket_cap}
+    )
+    """
+
+
 def _simhash_block_values(bits: int, max_hamming: int) -> str:
     """VALUES rows (i, shift, mask) mirroring operators.dedup.simhash_blocks —
     the oracle replays the exact same bit-block keys."""
@@ -67,10 +118,18 @@ keys AS (
 )
 """
 
+# per-key cap replaying operators.pairs.candidate_pairs_with_drops (lowest
+# doc_ids per key win; the salt grid never changes the pair set, so the
+# capped equi-join IS the full oracle of the salted plan)
 _PAIRS = _KEYS + """,
+kkeys AS (
+  SELECT doc_id, key FROM (
+    SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+    FROM keys) WHERE rn <= 20000
+),
 cpairs AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.key AS key
-  FROM keys a JOIN keys b USING (key)
+  FROM kkeys a JOIN kkeys b USING (key)
   WHERE a.doc_id < b.doc_id
 ),
 upairs AS (SELECT DISTINCT id1, id2 FROM cpairs)
@@ -105,6 +164,44 @@ comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
 clusters AS (
   SELECT d.doc_id, coalesce(c.comp, d.doc_id)::BIGINT AS cluster_id
   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+"""
+
+# E4 candidate-span table replaying operators.spans: md5 integer logits,
+# prefix-sum mention term, explode-over-length + equi-join span generation.
+# Integer logits keep every sum associativity-proof across engines.
+_E4_SPANS = _BASE + """,
+tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t)))::INT AS pos, t
+  FROM toks WHERE len(t) > 0
+),
+tok0 AS (SELECT doc_id, pos, t[pos] AS token FROM tokpos),
+tok1 AS (
+  SELECT doc_id, pos, token,
+    sum(length(token)) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len,
+    ('0x' || substr(md5('s:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS start_l,
+    ('0x' || substr(md5('e:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS end_l,
+    ('0x' || substr(md5('m:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS mention_l
+  FROM tok0
+),
+tokt AS (
+  SELECT doc_id, pos, token, start_l, end_l, mention_l,
+         (cum_len + pos - 1)::INT AS char_end,
+         (cum_len + pos - length(token))::INT AS char_start,
+         sum(mention_l) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcum
+  FROM tok1
+),
+spans AS (
+  SELECT s.doc_id, s.pos AS start_pos, e.pos AS end_pos,
+         (e.pos - s.pos + 1) AS n_tokens,
+         s.char_start AS "offset",
+         (e.char_end - s.char_start + 1) AS length,
+         (s.start_l + e.end_l + (e.mcum - s.mcum + s.mention_l)) AS score
+  FROM tokt s
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS l) L
+  JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + L.l
 )
 """
 
@@ -151,6 +248,15 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, band::BIGINT AS band, band_key FROM bands",
         "er_candidate_pairs": f"WITH {_PAIRS} "
         + "SELECT id1, id2, key FROM cpairs",
+        "er_key_drops": f"WITH {_BASE} "
+        + """,
+            ckeys AS (
+              SELECT doc_id, 'tok1:' || t[1] AS key FROM toks WHERE len(t) > 0
+            ),
+            g AS (SELECT key, count(*) AS n FROM ckeys GROUP BY key)
+            SELECT key, n::BIGINT AS n_ids, (n - 8)::BIGINT AS n_dropped
+            FROM g WHERE n > 8
+        """,
         "er_scored_pairs": f"WITH {_SCORED} "
         + """
             SELECT id1, id2,
@@ -248,14 +354,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, floor(jaccard * 1000000) / 1000000 AS jaccard
             FROM jac WHERE jaccard >= 0.40
         """,
-        "dedup_embedding_neardup": """
+        "dedup_embedding_neardup": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_lsh_keys_sql(**NEARDUP_LSH)},
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+              FROM bkeys a JOIN bkeys b USING (key)
+              WHERE a.vec_id < b.vec_id
+            ),
             s AS (
-              SELECT a.vec_id AS id1, b.vec_id AS id2,
-                     list_inner_product(a.emb, b.emb)
-                     / (sqrt(list_inner_product(a.emb, a.emb))
-                        * sqrt(list_inner_product(b.emb, b.emb))) AS cosine
-              FROM e a, e b WHERE a.vec_id < b.vec_id
+              SELECT p.id1, p.id2,
+                     list_inner_product(ea.emb, eb.emb)
+                     / (sqrt(list_inner_product(ea.emb, ea.emb))
+                        * sqrt(list_inner_product(eb.emb, eb.emb))) AS cosine
+              FROM pairs p
+              JOIN e ea ON ea.vec_id = p.id1
+              JOIN e eb ON eb.vec_id = p.id2
             )
             SELECT id1, id2, floor(cosine * 1000000) / 1000000 AS cosine
             FROM s WHERE cosine >= 0.5
@@ -266,6 +380,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id,
                    floor(ip * 1000000) / 1000000 AS ip_score, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_lsh_keys_sql(**ANN_LSH)},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+              FROM bkeys a JOIN bkeys b USING (key)
+              WHERE a.vec_id <> b.vec_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            lranked AS (
+              SELECT vec_id, neighbor_id, ip, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+              FROM sc
+            )
+            SELECT vec_id, neighbor_id,
+                   floor(ip * 1000000) / 1000000 AS ip_score, rank::BIGINT AS rank
+            FROM lranked WHERE rank <= 5
+        """,
+        "ann_lsh_recall": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_lsh_keys_sql(**ANN_LSH)},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+              FROM bkeys a JOIN bkeys b USING (key)
+              WHERE a.vec_id <> b.vec_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            approx AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                FROM sc) WHERE rank <= 5
+            ),
+            xs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_inner_product(a.emb, b.emb) AS ip
+              FROM e a, e b WHERE a.vec_id <> b.vec_id
+            ),
+            exact AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                FROM xs) WHERE rank <= 5
+            ),
+            j AS (
+              SELECT x.vec_id, x.neighbor_id,
+                     CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+              FROM exact x LEFT JOIN approx a
+                ON a.vec_id = x.vec_id AND a.neighbor_id = x.neighbor_id
+            )
+            SELECT count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_hit,
+                   floor(sum(hit) / count(*)::DOUBLE * 1000000) / 1000000 AS recall
+            FROM j
         """,
         "ann_recall_at_k": f"WITH {_ANN_RANKED} "
         + """,
@@ -436,6 +616,81 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, ent, 1 AS x FROM pred) p
               FULL OUTER JOIN (SELECT doc_id, ent, 1 AS y FROM gold) g
                 USING (doc_id, ent)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """,
+        "el_candidate_spans": f"WITH {_E4_SPANS} "
+        + """,
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, "offset" ASC, length ASC) AS rank
+              FROM spans
+            )
+            SELECT doc_id, start_pos::BIGINT AS start_pos, end_pos::BIGINT AS end_pos,
+                   n_tokens::BIGINT AS n_tokens, "offset"::BIGINT AS offset,
+                   length::BIGINT AS length, score::BIGINT AS score,
+                   rank::BIGINT AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "el_detect_f1": f"WITH {_E4_SPANS} "
+        + """,
+            pruned AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, "offset" ASC, length ASC) AS rank
+                FROM spans) WHERE rank <= 20
+            ),
+            w1 AS (
+              SELECT *, lag("offset" + length) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+              FROM pruned
+            ),
+            w2 AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR "offset" >= prev_end
+                             THEN 1 ELSE 0 END AS is_new FROM w1
+            ),
+            w3 AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+              FROM w2
+            ),
+            w4 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id, session
+                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+              FROM w3
+            ),
+            pred AS (
+              SELECT p.doc_id, p."offset", p.length,
+                     substr(r.norm, p."offset", p.length) AS ent
+              FROM w4 p JOIN recs r USING (doc_id) WHERE p.rn = 1
+            ),
+            gold AS (
+              SELECT s.doc_id, s.char_start AS "offset",
+                     (e.char_end - s.char_start + 1) AS length,
+                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
+              FROM tokt s
+              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+              JOIN recs r ON r.doc_id = s.doc_id
+              WHERE s.pos % 7 = 1
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
+                     THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fp,
+                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fn
+              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
             ),
             agg AS (
               SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m

@@ -24,7 +24,14 @@ from bela_spark.functions.text import LANGID_STOPWORDS, normalized, shingles_of,
 from bela_spark.functions.vectors import dot_product, embed_text
 from bela_spark.operators import el as el_ops
 from bela_spark.operators import textops
-from bela_spark.operators.ann import brute_force_topk, lsh_topk, mrr, recall_at_k
+from bela_spark.operators.ann import (
+    brute_force_topk,
+    lsh_bucket_keys,
+    lsh_recall_vs_brute,
+    lsh_topk,
+    mrr,
+    recall_at_k,
+)
 from bela_spark.operators.cc import connected_components
 from bela_spark.operators.dedup import simhash_near_pairs
 from bela_spark.operators.multimodal import extract_features, synth_media
@@ -113,14 +120,38 @@ def _all_keys(spark, sf_dir) -> DataFrame:
 
 
 def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: self-join per blocking key, id1 < id2 canonical, distinct."""
+    """J3: capped + salted self-join per blocking key (the production pair
+    operator, not a naked join), id1 < id2 canonical, distinct. The cap is
+    deterministic (lowest ids per key win, row_number-expressible) so the
+    DuckDB oracle replays it; the salt grid never changes the pair set."""
+    from bela_spark.operators.pairs import candidate_pairs_with_drops
+
     keys = _all_keys(spark, sf_dir)
-    a, b = keys.alias("a"), keys.alias("b")
-    return (
-        a.join(b, "key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), "key")
-        .distinct()
+    pairs, _ = candidate_pairs_with_drops(keys, CFG, id_col="doc_id", persist=False)
+    return pairs.select("id1", "id2", "key").distinct()
+
+
+# Deliberately coarse blocking (first normalized token) exercises the per-key
+# cap with real drops at every sf — the never-silent-truncation rule as a
+# first-class, oracle-visible query.
+DROPS_CAP = 8
+
+
+def er_key_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 drop log: (key, n_ids, n_dropped) for every blocking key truncated
+    by the cap — bounded fan-out is a feature, silent truncation is not
+    (reference bounds: num_cand_mentions=50, joint_el_task.py:800-802)."""
+    from bela_spark.operators.pairs import cap_keys
+
+    r = _records(spark, sf_dir)
+    coarse = r.filter(F.size("tokens") > 0).select(
+        "doc_id", F.concat(F.lit("tok1:"), F.element_at("tokens", 1)).alias("key")
+    )
+    _, drops = cap_keys(coarse, LinkageConfig(max_ids_per_key=DROPS_CAP), id_col="doc_id")
+    return drops.select(
+        "key",
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
 
 
@@ -262,19 +293,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", f6("jaccard").alias("jaccard"))
 
 
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dups over the driver embeddings table."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    from bela_spark.functions.vectors import cosine_sim
+# LSH blocking configuration shared verbatim with the DuckDB oracles (the
+# plane constants are emitted as SQL literals by oracles._lsh_keys_sql).
+from bela_spark.oracles import ANN_LSH, NEARDUP_LSH
 
-    return (
-        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine_sim("e1", "e2"))
-        .filter(F.col("cosine") >= 0.5)
-        .select("id1", "id2", f6("cosine").alias("cosine"))
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups, LSH-blocked (no all-pairs product anywhere:
+    candidates come from capped hyperplane buckets, exact cosine verifies).
+    The oracle replays the identical plane constants and bucket cap."""
+    from bela_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    keys = lsh_bucket_keys(e, id_col="vec_id", **NEARDUP_LSH)
+    out = embedding_near_dup_pairs(
+        e, min_cosine=0.5, id_col="vec_id", block_keys=keys
     )
+    return out.select("id1", "id2", f6("cosine").alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
@@ -319,13 +354,28 @@ def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-5 (no SQL oracle — checked vs brute force
-    in tests/test_ann.py by recall)."""
+    """Approximate LSH-bucketed top-5 — the scale path (capped buckets, no
+    full-catalog product). Oracle-checked: the DuckDB twin replays the md5
+    hyperplanes as literal arrays and the deterministic bucket cap."""
     e = _emb(spark, sf_dir)
-    out = lsh_topk(e, k=5, n_planes=8, n_tables=4, dim=64)
+    out = lsh_topk(e, k=5, **ANN_LSH)
     return out.select(
         "vec_id", "neighbor_id", f6("ip_score").alias("ip_score"),
         F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH top-5 edge set vs the brute-force anchor — keeps the
+    approximate path honest (one row: n_exact, n_hit, recall)."""
+    e = _emb(spark, sf_dir)
+    approx = lsh_topk(e, k=5, **ANN_LSH)
+    exact = brute_force_topk(e, e, k=5)
+    out = lsh_recall_vs_brute(approx, exact)
+    return out.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        f6("recall").alias("recall"),
     )
 
 
@@ -490,6 +540,78 @@ def el_topk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e4_candidates(spark, sf_dir):
+    from bela_spark.operators import spans as spans_ops
+
+    r = _records(spark, sf_dir)
+    tok = spans_ops.token_table(r)
+    return r, tok, spans_ops.candidate_spans(tok)
+
+
+def el_candidate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+P5+W1 (MentionScoresHead, joint_el_task.py:168-305): score every
+    valid (start,end) token span via decomposed hash logits + prefix sums, and
+    keep the top-5 per document (total tie-break). Real candidate spans over
+    the real token stream — no synthetic arithmetic spans."""
+    from bela_spark.operators import spans as spans_ops
+
+    _, _, cand = _e4_candidates(spark, sf_dir)
+    out = spans_ops.pruned_spans(cand, k=5)
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("end_pos").cast("bigint").alias("end_pos"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("length").cast("bigint").alias("length"),
+        F.col("score").cast("bigint").alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def el_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mention detection: E4 candidates -> W1 prune (top-20) ->
+    W3 interval merge -> strong span match vs deterministic gold (2-token
+    spans every 7 positions) -> A1 micro P/R/F1. The whole reference eval
+    chain (joint_el_task.py:168-434 + model_eval.py:318-356) on REAL spans."""
+    from bela_spark.operators import spans as spans_ops
+
+    r, tok, cand = _e4_candidates(spark, sf_dir)
+    norm = r.select("doc_id", "norm")
+    merged = el_ops.merge_overlapping_spans(spans_ops.pruned_spans(cand, k=20))
+    pred = merged.join(norm, "doc_id").select(
+        "doc_id",
+        "offset",
+        "length",
+        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
+    )
+    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
+    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
+    gold = (
+        s.join(e, ["doc_id", "pos"])
+        .join(norm, "doc_id")
+        .select(
+            "doc_id",
+            F.col("char_start").alias("offset"),
+            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
+            F.substring(
+                F.col("norm"),
+                F.col("char_start"),
+                F.col("char_end") - F.col("char_start") + 1,
+            ).alias("ent_id"),
+        )
+    )
+    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
+    return out.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("precision").alias("precision"),
+        f6("recall").alias("recall"),
+        f6("f1").alias("f1"),
+    )
+
+
 def el_window_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (group_predictions_by_example, bela/utils/prediction_utils.py:47-72):
     regroup exploded windows per document in offset order."""
@@ -615,6 +737,15 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # No-oracle queries (UDF-backed; driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
+def _embedded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, embedding): raw pandas-UDF text embeddings (internal — array
+    columns never cross the driver canonicalizer)."""
+    r = _records(spark, sf_dir)
+    return r.select(
+        "doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding")
+    )
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: Arrow-batched deterministic text embeddings (pandas UDF).
 
@@ -626,10 +757,7 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bela_spark.functions.vectors import l2_norm
 
-    r = _records(spark, sf_dir)
-    emb = r.select(
-        "doc_id", embed_text(CFG.embedding_dim, CFG.seed)("norm").alias("embedding")
-    )
+    emb = _embedded_docs(spark, sf_dir)
     sign_parts = F.transform(
         "embedding",
         lambda v, i: F.concat_ws(
@@ -655,7 +783,7 @@ def er_scored_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check — the UDF kernel has no SQL twin)."""
     from bela_spark.functions.vectors import cosine_sim
 
-    emb = embed_documents(spark, sf_dir)
+    emb = _embedded_docs(spark, sf_dir)
     pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
     scored = _scored_pairs(spark, sf_dir).select("id1", "id2", "f_lev", "f_jac")
     j = (

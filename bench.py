@@ -66,8 +66,10 @@ def main() -> None:
     n_pairs = timed("linkage_end_to_end", _linkage)
     extras["pairs_per_sec"] = round(n_pairs / max(timings["linkage_end_to_end"], 1e-9), 1)
 
-    # 3. ANN brute-force top-k over the driver embeddings
-    timed("ann_topk", lambda: q.ann_topk(spark, sf_dir).count())
+    # 3. ANN top-k over the driver embeddings: the LSH-bucketed scale path
+    # (capped buckets, no all-pairs product) — the brute-force crossJoin stays
+    # an oracle-only exactness anchor, never a benched path
+    timed("ann_lsh_topk", lambda: q.ann_lsh_topk(spark, sf_dir).count())
 
     # 4. MinHash near-dup over driver documents
     timed("dedup_ngram_jaccard", lambda: q.dedup_ngram_jaccard(spark, sf_dir).count())
