@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": _q.er_clusters,
         "er_flagship_clusters": _q.er_flagship_clusters,
         "er_threshold_grid": _q.er_threshold_grid,
+        "er_threshold_grid_2d": _q.er_threshold_grid_2d,
         # dedup extensions
         "dedup_simhash": _q.dedup_simhash,
         "dedup_simhash_pairs": _q.dedup_simhash_pairs,
@@ -68,6 +69,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_index": _q.catalogue_index,
         "catalogue_multilang": _q.catalogue_multilang,
+        # subword token space + token catalogue
+        "text_subword_tokens": _q.text_subword_tokens,
+        "el_token_remap": _q.el_token_remap,
+        "catalogue_tokens": _q.catalogue_tokens,
+        "catalogue_entity_truncation": _q.catalogue_entity_truncation,
+        "catalogue_membership": _q.catalogue_membership,
         # general analytics
         "tpch_pricing_summary": _q.tpch_pricing_summary,
         "tpch_top_customers": _q.tpch_top_customers,

@@ -1,0 +1,115 @@
+"""Token entity catalogue (SURVEY.md S5/T11/S2, P1).
+
+The reference's EntityCatalogue stores each entity's token ids as a fixed-
+width h5 row with a length prefix — value[1 : value[0] + 1] slices the real
+tokens back out (/root/reference/mblink/utils/utils.py:55-77). BLINK
+truncates entity token sequences to max_entity_len with bos/eos handling
+(/root/reference/mblink/transforms/blink_transform.py:277-289), and the
+datamodule drops mentions whose entity is not in the catalogue
+(/root/reference/mblink/datamodule/blink_datamodule.py:50-57,
+bela/datamodule/joint_el_datamodule.py:117-125).
+
+Spark-first: the catalogue is a DataFrame keyed by ent_id with a dense
+ent_index, the length-prefixed row is a literal array column (prefix + ids +
+zero padding) sliced back with element_at/slice, truncation is array algebra,
+and membership is a broadcast LEFT SEMI join — each one whole-stage-codegen,
+no UDF, DuckDB-replayable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from bela_spark.functions.subword import BOS_ID, EOS_ID, PIECE_CHARS, VOCAB
+
+PAD_WIDTH = 16       # fixed row width (token slots) of the emulated h5 matrix
+MAX_ENTITY_LEN = 8   # blink_transform max_entity_len analogue
+
+
+def entity_catalogue(
+    docs: DataFrame, title_chars: int = 30, norm_col: str = "norm"
+) -> DataFrame:
+    """(ent_id, ent_index, title, n_docs): one entity per (lang, source) with
+    a dense ent_index (S4-style row_number) and a deterministic title (the
+    lexicographically-smallest normalized text prefix in the group)."""
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.substring(F.col(norm_col), 1, title_chars)).alias("title"),
+    )
+    g = g.select(
+        F.concat_ws("_", "lang", "source").alias("ent_id"), "title", "n_docs"
+    )
+    w = W.orderBy("ent_id")
+    return g.withColumn("ent_index", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def _title_token_ids(title: Column) -> Column:
+    """Ordered hash-subword ids of a title: words -> PIECE_CHARS-char chunks
+    -> md5 ids, flattened in (word, piece) order — nested JVM lambdas only."""
+    words = F.filter(F.split(title, " "), lambda t: F.length(t) > 0)
+    return F.flatten(
+        F.transform(
+            words,
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length(t) + PIECE_CHARS - 1) / PIECE_CHARS).cast("int") - 1,
+                ),
+                lambda j: F.conv(
+                    F.substring(
+                        F.md5(F.substring(t, j * PIECE_CHARS + 1, PIECE_CHARS)), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % VOCAB
+                + 4,
+            ),
+        )
+    )
+
+
+def tokenized_catalogue(cat: DataFrame, pad_width: int = PAD_WIDTH) -> DataFrame:
+    """+ (stored, n_tokens, tokens): the h5-row emulation — stored is the
+    fixed-width, length-prefixed array [n, id1..idn, 0...]; tokens is the
+    value[1 : value[0] + 1] slice read back from it (S5)."""
+    ids = F.slice(_title_token_ids(F.col("title")), 1, pad_width)
+    t = cat.withColumn("_ids", ids).withColumn("n_tokens", F.size("_ids"))
+    stored = F.concat(
+        F.array(F.col("n_tokens").cast("bigint")),
+        F.col("_ids"),
+        F.array_repeat(F.lit(0).cast("bigint"), pad_width - F.col("n_tokens")),
+    )
+    t = t.withColumn("stored", stored)
+    # the read path: slice(stored, 2, stored[1]) == value[1:value[0]+1]
+    return t.withColumn(
+        "tokens", F.slice(F.col("stored"), 2, F.element_at(F.col("stored"), 1))
+    ).drop("_ids")
+
+
+def truncate_entity_tokens(
+    cat_tokens: DataFrame, max_entity_len: int = MAX_ENTITY_LEN
+) -> DataFrame:
+    """T11 (_transform_entity, blink_transform.py:277-289): wrap with bos/eos,
+    truncate to max_entity_len keeping eos last."""
+    full = F.concat(
+        F.array(F.lit(BOS_ID).cast("bigint")),
+        F.col("tokens"),
+        F.array(F.lit(EOS_ID).cast("bigint")),
+    )
+    t = cat_tokens.withColumn("_full", full)
+    truncated = F.when(
+        F.size("_full") > max_entity_len,
+        F.concat(
+            F.slice(F.col("_full"), 1, max_entity_len - 1),
+            F.array(F.lit(EOS_ID).cast("bigint")),
+        ),
+    ).otherwise(F.col("_full"))
+    return t.withColumn("entity_ids", truncated).drop("_full")
+
+
+def membership_semi_join(
+    mentions: DataFrame, catalogue: DataFrame, on: str = "ent_id"
+) -> DataFrame:
+    """S2/P1: keep only mentions whose entity exists in the catalogue —
+    broadcast LEFT SEMI join (the catalogue is the small dimension side)."""
+    return mentions.join(F.broadcast(catalogue.select(on)), on, "left_semi")

@@ -205,6 +205,73 @@ spans AS (
 )
 """
 
+# Hash-subword word table (functions/subword.py): per-word piece counts +
+# the word->subword position mapping as prefix sums.
+_SUBWORD = _BASE + """,
+wtok AS (
+  SELECT doc_id, unnest(generate_series(1, len(t)))::INT AS pos, t
+  FROM toks WHERE len(t) > 0
+),
+w0 AS (SELECT doc_id, pos, t[pos] AS token FROM wtok),
+w1 AS (
+  SELECT doc_id, pos, token,
+         sum(length(token)) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len,
+         ((length(token) + 3) // 4)::INT AS n_pieces
+  FROM w0
+),
+w2 AS (
+  SELECT doc_id, pos, token, n_pieces,
+         (cum_len + pos - 1)::INT AS char_end,
+         (cum_len + pos - length(token))::INT AS char_start,
+         (coalesce(sum(n_pieces) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)::INT AS sp_start
+  FROM w1
+),
+w3 AS (SELECT *, (sp_start + n_pieces)::INT AS sp_end FROM w2)
+"""
+
+# (lang, source) entity catalogue with hash-subword title tokens
+# (operators/catalogue.py): dense index, ordered piece ids, 16-slot cap.
+_CATALOGUE = _BASE + """,
+cat0 AS (
+  SELECT lang || '_' || source AS ent_id, count(*) AS n_docs,
+         min(substr(norm, 1, 30)) AS title
+  FROM recs GROUP BY lang, source
+),
+cat AS (
+  SELECT ent_id, title, n_docs,
+         (row_number() OVER (ORDER BY ent_id) - 1)::BIGINT AS ent_index
+  FROM cat0
+),
+cw AS (
+  SELECT ent_id, unnest(generate_series(1, len(ws)))::INT AS wi, ws
+  FROM (SELECT ent_id,
+               list_filter(string_split(title, ' '), w -> length(w) > 0) AS ws
+        FROM cat)
+),
+cp AS (
+  SELECT ent_id, wi, ws[wi] AS w,
+         unnest(generate_series(1, (length(ws[wi]) + 3) // 4))::INT AS pj
+  FROM cw
+),
+cids AS (
+  SELECT ent_id, wi, pj,
+         (('0x' || substr(md5(substr(w, (pj - 1) * 4 + 1, 4)), 1, 6))::BIGINT
+            % 49996 + 4) AS tid
+  FROM cp
+),
+clist AS (
+  SELECT ent_id, (list(tid ORDER BY wi, pj))[1:16] AS ids
+  FROM cids GROUP BY ent_id
+),
+cat_tokens AS (
+  SELECT c.ent_id, c.ent_index, c.n_docs,
+         coalesce(l.ids, []::BIGINT[]) AS ids
+  FROM cat c LEFT JOIN clist l USING (ent_id)
+)
+"""
+
 _ANN_RANKED = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
 s AS (
@@ -287,6 +354,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scored2, (VALUES (0.5), (0.6), (0.7), (0.8)) t(threshold)
             WHERE score >= t.threshold
             GROUP BY t.threshold
+        """,
+        "er_threshold_grid_2d": f"WITH {_SCORED} "
+        + """
+            SELECT t1.t::DOUBLE AS t_lev, t2.t::DOUBLE AS t_jac,
+                   count(*)::BIGINT AS n_edges
+            FROM scored2,
+                 (VALUES (0.0), (0.2), (0.4)) t1(t),
+                 (VALUES (0.0), (0.2), (0.4)) t2(t)
+            WHERE f_lev >= t1.t AND f_jac >= t2.t
+            GROUP BY t1.t, t2.t
         """,
         # --- dedup extensions ----------------------------------------------
         "dedup_simhash": f"WITH {_BASE} "
@@ -804,6 +881,77 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             )
             SELECT doc_id, token, n, rank::BIGINT AS rank FROM r WHERE rank <= 3
+        """,
+        "text_subword_tokens": f"WITH {_SUBWORD} "
+        + """,
+            p0 AS (
+              SELECT doc_id, pos, token, char_start, char_end, sp_start,
+                     unnest(generate_series(0, n_pieces - 1))::INT AS j
+              FROM w3
+            ),
+            p1 AS (
+              SELECT doc_id, (sp_start + j) AS sp_pos,
+                     (('0x' || substr(md5(substr(token, j * 4 + 1, 4)), 1, 6))::BIGINT
+                        % 49996 + 4) AS token_id,
+                     CASE WHEN j = 0 AND pos > 1 THEN char_start - 2
+                          ELSE char_start - 1 + j * 4 END AS cs,
+                     least(char_start - 1 + (j + 1) * 4, char_end) AS ce
+              FROM p0
+            ),
+            pk AS (SELECT * FROM p1 WHERE sp_pos <= 30),
+            uni AS (
+              SELECT DISTINCT doc_id, 0 AS sp_pos, 0::BIGINT AS token_id,
+                     0 AS cs, 0 AS ce
+              FROM w3
+              UNION ALL
+              SELECT doc_id, sp_pos, token_id, cs, ce FROM pk
+              UNION ALL
+              SELECT doc_id, max(sp_pos) + 1, 2::BIGINT, max(ce), 0
+              FROM pk GROUP BY doc_id
+            )
+            SELECT doc_id, sp_pos::BIGINT AS sp_pos, token_id,
+                   cs::BIGINT AS char_start, ce::BIGINT AS char_end
+            FROM uni
+        """,
+        "el_token_remap": f"WITH {_SUBWORD} "
+        + """
+            SELECT s.doc_id, s.pos::BIGINT AS word_pos,
+                   s.sp_start::BIGINT AS sp_offset,
+                   (e.sp_end - s.sp_start)::BIGINT AS sp_length
+            FROM w3 s JOIN w3 e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+            WHERE s.pos % 5 = 1 AND e.sp_end <= 31
+        """,
+        "catalogue_tokens": f"WITH {_CATALOGUE} "
+        + """
+            SELECT ent_id, ent_index, len(ids)::BIGINT AS n_tokens,
+                   md5(array_to_string(ids, ',')) AS tokens_md5
+            FROM cat_tokens
+        """,
+        "catalogue_entity_truncation": f"WITH {_CATALOGUE} "
+        + """,
+            ct AS (
+              SELECT ent_id, ([0]::BIGINT[] || ids || [2]::BIGINT[]) AS fullids
+              FROM cat_tokens
+            ),
+            ctr AS (
+              SELECT ent_id, fullids,
+                     CASE WHEN len(fullids) > 8
+                          THEN fullids[1:7] || [2]::BIGINT[]
+                          ELSE fullids END AS eids
+              FROM ct
+            )
+            SELECT ent_id, len(fullids)::BIGINT AS n_raw,
+                   len(eids)::BIGINT AS n_final,
+                   eids[len(eids)]::BIGINT AS last_id,
+                   md5(array_to_string(eids, ',')) AS ids_md5
+            FROM ctr
+        """,
+        "catalogue_membership": f"WITH {_CATALOGUE} "
+        + """
+            SELECT d.doc_id, d.lang || '_' || d.source AS ent_id
+            FROM documents d
+            WHERE (d.lang || '_' || d.source) IN
+                  (SELECT ent_id FROM cat WHERE n_docs >= 3)
         """,
         "catalogue_index": """
             SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS ent_index

@@ -253,6 +253,24 @@ def er_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_threshold_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 full parity (grid_search_thresholds.py:23-36): the reference sweeps
+    the PRODUCT of two thresholds (md x el) over one cached scored pass; here
+    the two gate axes are the two pair features (lev x jaccard). One scan,
+    broadcast axes, no recompute per cell."""
+    scored = _scored_pairs(spark, sf_dir).select("f_lev", "f_jac")
+    axis = [(t,) for t in (0.0, 0.2, 0.4)]
+    t_md = spark.createDataFrame(axis, "t_lev double")
+    t_el = spark.createDataFrame(axis, "t_jac double")
+    grid = F.broadcast(t_md.crossJoin(t_el))
+    return (
+        scored.crossJoin(grid)
+        .filter((F.col("f_lev") >= F.col("t_lev")) & (F.col("f_jac") >= F.col("t_jac")))
+        .groupBy("t_lev", "t_jac")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family extensions
 # ---------------------------------------------------------------------------
@@ -690,6 +708,106 @@ def text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+SUBWORD_MAX_SEQ = 32  # small enough that truncation fires on real sf0.01 docs
+
+
+def _word_table(spark, sf_dir):
+    from bela_spark.operators.spans import token_table
+
+    r = _records(spark, sf_dir)
+    return token_table(r).select("doc_id", "pos", "token", "char_start", "char_end")
+
+
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (SPMTransform, bela/transforms/spm_transform.py:28-65): hash-subword
+    (token_id, char_start, char_end) rows with bos/eos sentinels, whitespace
+    absorption, and the max_seq_len-3 piece truncation — all JVM expressions,
+    oracle-replayed."""
+    from bela_spark.functions.subword import subword_token_rows
+
+    out = subword_token_rows(_word_table(spark, sf_dir), max_seq_len=SUBWORD_MAX_SEQ)
+    return out.select(
+        "doc_id",
+        F.col("sp_pos").cast("bigint").alias("sp_pos"),
+        F.col("token_id").cast("bigint").alias("token_id"),
+        F.col("char_start").cast("bigint").alias("char_start"),
+        F.col("char_end").cast("bigint").alias("char_end"),
+    )
+
+
+def el_token_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (pieces_to_texts, joint_el_transform.py:104-187): word-level
+    mentions (2 words every 5 positions) remapped to subword offsets via the
+    per-word (sp_start, sp_end) prefix mapping; mentions whose subword end
+    crosses max_seq_len-1 are dropped (the reference's truncation break)."""
+    from bela_spark.functions.subword import word_piece_counts
+
+    m = word_piece_counts(_word_table(spark, sf_dir))
+    s = m.filter((F.col("pos") % 5) == 1).select("doc_id", "pos", "sp_start")
+    e = m.select("doc_id", (F.col("pos") - 1).alias("pos"), "sp_end")
+    j = s.join(e, ["doc_id", "pos"]).filter(F.col("sp_end") <= SUBWORD_MAX_SEQ - 1)
+    return j.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("word_pos"),
+        F.col("sp_start").cast("bigint").alias("sp_offset"),
+        (F.col("sp_end") - F.col("sp_start")).cast("bigint").alias("sp_length"),
+    )
+
+
+def _catalogue(spark, sf_dir):
+    from bela_spark.operators.catalogue import entity_catalogue, tokenized_catalogue
+
+    d = _docs(spark, sf_dir).withColumn("norm", normalized("text"))
+    return tokenized_catalogue(entity_catalogue(d))
+
+
+def catalogue_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (EntityCatalogue, mblink/utils/utils.py:55-77): length-prefixed
+    fixed-width token rows, read back via the value[1:value[0]+1] slice. The
+    sliced ids are digested (md5 of the comma-join) so the output stays
+    canonicalizer-sortable."""
+    t = _catalogue(spark, sf_dir)
+    return t.select(
+        "ent_id",
+        "ent_index",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))).alias(
+            "tokens_md5"
+        ),
+    )
+
+
+def catalogue_entity_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (_transform_entity, blink_transform.py:277-289): bos/eos wrap +
+    max_entity_len truncation with eos kept last."""
+    from bela_spark.operators.catalogue import truncate_entity_tokens
+
+    t = truncate_entity_tokens(_catalogue(spark, sf_dir))
+    return t.select(
+        "ent_id",
+        (F.size("tokens") + 2).cast("bigint").alias("n_raw"),
+        F.size("entity_ids").cast("bigint").alias("n_final"),
+        F.element_at("entity_ids", -1).cast("bigint").alias("last_id"),
+        F.md5(
+            F.concat_ws(",", F.transform("entity_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
+def catalogue_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1 (blink_datamodule.py:50-57, joint_el_datamodule.py:117-125):
+    drop mentions whose entity is missing from the catalogue — broadcast LEFT
+    SEMI join against the popular-entity slice (n_docs >= 3)."""
+    from bela_spark.operators.catalogue import entity_catalogue, membership_semi_join
+
+    d = _docs(spark, sf_dir).withColumn("norm", normalized("text"))
+    cat = entity_catalogue(d).filter(F.col("n_docs") >= 3)
+    mentions = d.select(
+        "doc_id", F.concat_ws("_", "lang", "source").alias("ent_id")
+    )
+    return membership_semi_join(mentions, cat).select("doc_id", "ent_id")
 
 
 def catalogue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
