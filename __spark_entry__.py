@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lsh_band_keys": _q.er_lsh_band_keys,
         "er_candidate_pairs": _q.er_candidate_pairs,
         "er_key_drops": _q.er_key_drops,
+        "er_exact_remap": _q.er_exact_remap,
+        "er_cluster_metrics": _q.er_cluster_metrics,
         "er_scored_pairs": _q.er_scored_pairs,
         "er_edges": _q.er_edges,
         "er_clusters": _q.er_clusters,
@@ -60,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_topk_spans": _q.el_topk_spans,
         "el_candidate_spans": _q.el_candidate_spans,
         "el_detect_f1": _q.el_detect_f1,
+        "el_span_encodings": _q.el_span_encodings,
+        "el_mention_context": _q.el_mention_context,
         "el_window_regroup": _q.el_window_regroup,
         # text analysis
         "text_token_stats": _q.text_token_stats,
@@ -75,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalogue_tokens": _q.catalogue_tokens,
         "catalogue_entity_truncation": _q.catalogue_entity_truncation,
         "catalogue_membership": _q.catalogue_membership,
+        "catalogue_type_filter": _q.catalogue_type_filter,
         # general analytics
         "tpch_pricing_summary": _q.tpch_pricing_summary,
         "tpch_top_customers": _q.tpch_top_customers,

@@ -120,6 +120,52 @@ def word_to_subword_remap_py(
     return seq, new_offs, new_lens, tokens_mapping
 
 
+MENTION_START_ID = 1
+MENTION_END_ID = 3
+MENTION_BUDGET = 16  # the reference's max_mention_length (total context budget)
+
+
+def word_piece_ids_col(token: Column) -> Column:
+    """Ordered piece ids of one word as an array column (JVM lambdas only)."""
+    return F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length(token) + PIECE_CHARS - 1) / PIECE_CHARS).cast("int") - 1,
+        ),
+        lambda j: piece_id_col(F.substring(token, j * PIECE_CHARS + 1, PIECE_CHARS)),
+    )
+
+
+def prepare_mention_arrays(
+    left: Column, mention: Column, right: Column, max_len: int = MENTION_BUDGET
+) -> Column:
+    """T10 (prepare_mention, mblink/transforms/blink_transform.py:41-78) on
+    array<bigint> columns: cap the mention at max_len-4, wrap in
+    [START]/[END] markers, split the remaining token budget between left
+    (last tokens) and right (first tokens) with the reference's quota
+    rebalancing, then frame with bos/eos. Pure array algebra — no UDF."""
+    m = F.concat(
+        F.array(F.lit(MENTION_START_ID).cast("bigint")),
+        F.slice(mention, 1, max_len - 4),
+        F.array(F.lit(MENTION_END_ID).cast("bigint")),
+    )
+    mlen = F.size(m)
+    lq0 = (F.floor((F.lit(max_len) - mlen) / 2) - 1).cast("int")
+    rq0 = (F.lit(max_len) - mlen - lq0 - 2).cast("int")
+    ladd, radd = F.size(left), F.size(right)
+    rq = F.when((ladd <= lq0) & (radd > rq0), rq0 + lq0 - ladd).otherwise(rq0)
+    lq = F.when((ladd > lq0) & (radd <= rq0), lq0 + rq0 - radd).otherwise(lq0)
+    lkept = F.slice(left, F.greatest(ladd - lq + 1, F.lit(1)), F.least(lq, ladd))
+    rkept = F.slice(right, F.lit(1), F.least(rq, radd))
+    return F.concat(
+        F.array(F.lit(BOS_ID).cast("bigint")),
+        lkept,
+        m,
+        rkept,
+        F.array(F.lit(EOS_ID).cast("bigint")),
+    )
+
+
 # --- DataFrame builders over normalized (single-space) text -----------------
 
 def word_piece_counts(words: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -121,6 +121,89 @@ def candidate_spans(
     )
 
 
+PROJ_DIM = 16      # E2 projection output width
+PROJ_SCALE = 500   # integer weights in [-PROJ_SCALE, PROJ_SCALE)
+
+
+def projection_weights(out_dim: int = PROJ_DIM, in_dim: int = 128, seed: int = 42) -> list[list[int]]:
+    """E2: deterministic integer projection matrix (md5-derived, literal in
+    the plan — the analogue of the reference's trained mention_mlp weights,
+    same substitution as E1's encoder)."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(hashlib.md5(f"{seed}:proj:{j}:{b}".encode()).digest()[:4], "big")
+            % (2 * PROJ_SCALE)
+            - PROJ_SCALE
+            for b in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def span_encodings(
+    spans: DataFrame, tokens: DataFrame, dim: int = 64, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """E3+E2 (SpanEncoder + projection, joint_el_task.py:129-165): the mention
+    encoding concatenates the START and END token encodings and projects them.
+
+    The E1 hash embedding of a single token is exactly one-hot: bucket
+    b = md5(token) % dim with sign s — so the projected span encoding
+    collapses to TWO lookups into the literal weight matrix:
+      p[j] = s_start * W[j][b_start] + s_end * W[j][b_end + dim]
+    Integer arithmetic end to end: no UDF, no float, SQL-replayable.
+    Emits (doc_id, start_pos, end_pos, proj digest columns)."""
+    w = projection_weights(PROJ_DIM, 2 * dim, seed)
+
+    # h = first 8 md5 bytes of "<seed>:<token>" (vectors._hash_embed_batch):
+    # bucket = h % 64 lives in the low 6 bits = hex chars 15-16 of the prefix;
+    # the sign bit (h >> 32) & 1 is the low bit of hex char 8.
+    def bucket(tok: Column) -> Column:
+        h2 = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), tok)), 15, 2)
+        return F.conv(h2, 16, 10).cast("bigint") % dim
+
+    def sign(tok: Column) -> Column:
+        hb = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), tok)), 8, 1)
+        return F.when(F.conv(hb, 16, 10).cast("bigint") % 2 == 1, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    st = tokens.select(
+        id_col,
+        F.col("pos").alias("start_pos"),
+        bucket(F.col("token")).alias("b1"),
+        sign(F.col("token")).alias("s1"),
+    )
+    en = tokens.select(
+        id_col,
+        F.col("pos").alias("end_pos"),
+        bucket(F.col("token")).alias("b2"),
+        sign(F.col("token")).alias("s2"),
+    )
+    j = spans.join(st, [id_col, "start_pos"]).join(en, [id_col, "end_pos"])
+    rows = [F.array(*[F.lit(v) for v in row]) for row in w]
+    proj = F.array(
+        *[
+            F.col("s1") * F.element_at(rows[k], F.col("b1").cast("int") + 1)
+            + F.col("s2") * F.element_at(rows[k], (F.col("b2") + dim).cast("int") + 1)
+            for k in range(PROJ_DIM)
+        ]
+    )
+    j = j.withColumn("_proj", proj)
+    return j.select(
+        id_col,
+        "start_pos",
+        "end_pos",
+        F.aggregate(
+            F.transform("_proj", lambda x: F.abs(x)), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("proj_l1"),
+        F.md5(F.concat_ws(",", F.transform("_proj", lambda x: x.cast("string")))).alias(
+            "proj_md5"
+        ),
+    )
+
+
 def pruned_spans(
     spans: DataFrame, k: int = 20, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -60,6 +60,17 @@ def _lsh_keys_sql(
     """
 
 
+def _proj_weight_values() -> str:
+    """VALUES rows (j, b, v) of the E2 projection matrix
+    (operators.spans.projection_weights) — 16 x 128 integer literals."""
+    from bela_spark.operators.spans import projection_weights
+
+    w = projection_weights()
+    return "VALUES " + ", ".join(
+        f"({j}, {b}, {v})" for j, row in enumerate(w) for b, v in enumerate(row)
+    )
+
+
 def _simhash_block_values(bits: int, max_hamming: int) -> str:
     """VALUES rows (i, shift, mask) mirroring operators.dedup.simhash_blocks —
     the oracle replays the exact same bit-block keys."""
@@ -777,6 +788,118 @@ def oracle_sql() -> dict[str, str]:
                    floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
                    floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
             FROM agg
+        """,
+        "el_span_encodings": f"WITH {_E4_SPANS} "
+        + """,
+            top5 AS (
+              SELECT doc_id, start_pos, end_pos FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, "offset" ASC, length ASC) AS rank
+                FROM spans) WHERE rank <= 5
+            ),
+            bs AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5('42:' || token), 15, 2))::BIGINT % 64 AS b,
+                     CASE WHEN ('0x' || substr(md5('42:' || token), 8, 1))::BIGINT % 2 = 1
+                          THEN 1 ELSE -1 END AS s
+              FROM tokt
+            ),
+            wvals(j, b, v) AS ({proj_weights}),
+            pe AS (
+              SELECT t.doc_id, t.start_pos, t.end_pos, g.j,
+                     (b1.s * w1.v + b2.s * w2.v) AS pv
+              FROM top5 t
+              JOIN bs b1 ON b1.doc_id = t.doc_id AND b1.pos = t.start_pos
+              JOIN bs b2 ON b2.doc_id = t.doc_id AND b2.pos = t.end_pos
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) g
+              JOIN wvals w1 ON w1.j = g.j AND w1.b = b1.b
+              JOIN wvals w2 ON w2.j = g.j AND w2.b = b2.b + 64
+            )
+            SELECT doc_id, start_pos::BIGINT AS start_pos, end_pos::BIGINT AS end_pos,
+                   sum(abs(pv))::BIGINT AS proj_l1,
+                   md5(string_agg(pv::VARCHAR, ',' ORDER BY j)) AS proj_md5
+            FROM pe GROUP BY doc_id, start_pos, end_pos
+        """.format(proj_weights=_proj_weight_values()),
+        "el_mention_context": f"WITH {_SUBWORD} "
+        + """,
+            dp AS (
+              SELECT doc_id, pos, unnest(generate_series(1, n_pieces))::INT AS pj, token
+              FROM w3
+            ),
+            docids AS (
+              SELECT doc_id,
+                     list((('0x' || substr(md5(substr(token, (pj - 1) * 4 + 1, 4)), 1, 6))::BIGINT
+                           % 49996 + 4) ORDER BY pos, pj) AS ids
+              FROM dp GROUP BY doc_id
+            ),
+            men AS (
+              SELECT s.doc_id, s.pos AS word_pos, s.sp_start, e.sp_end
+              FROM w3 s JOIN w3 e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+              WHERE s.pos % 5 = 1
+            ),
+            parts AS (
+              SELECT m.doc_id, m.word_pos,
+                     d.ids[1 : m.sp_start - 1] AS lft,
+                     d.ids[m.sp_start : m.sp_end - 1] AS men0,
+                     d.ids[m.sp_end : len(d.ids)] AS rgt
+              FROM men m JOIN docids d USING (doc_id)
+            ),
+            pm AS (
+              SELECT doc_id, word_pos, lft, rgt,
+                     ([1]::BIGINT[] ||
+                      (CASE WHEN len(men0) > 12 THEN men0[1:12] ELSE men0 END)
+                      || [3]::BIGINT[]) AS m
+              FROM parts
+            ),
+            q0 AS (
+              SELECT *, ((16 - len(m)) // 2 - 1)::INT AS lq0,
+                     (16 - len(m) - ((16 - len(m)) // 2 - 1) - 2)::INT AS rq0,
+                     len(lft)::INT AS ladd, len(rgt)::INT AS radd
+              FROM pm
+            ),
+            q1 AS (
+              SELECT *,
+                CASE WHEN ladd <= lq0 AND radd > rq0 THEN rq0 + lq0 - ladd ELSE rq0 END AS rq,
+                CASE WHEN ladd > lq0 AND radd <= rq0 THEN lq0 + rq0 - radd ELSE lq0 END AS lq
+              FROM q0
+            ),
+            asm AS (
+              SELECT doc_id, word_pos,
+                     ([0]::BIGINT[]
+                      || lft[greatest(ladd - lq + 1, 1) : ladd]
+                      || m
+                      || rgt[1 : least(rq, radd)]
+                      || [2]::BIGINT[]) AS ctx
+              FROM q1
+            )
+            SELECT doc_id, word_pos::BIGINT AS word_pos,
+                   len(ctx)::BIGINT AS n_context,
+                   md5(array_to_string(ctx, ',')) AS ctx_md5
+            FROM asm
+        """,
+        "er_exact_remap": """
+            WITH k AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+              FROM documents
+            )
+            SELECT doc_id, keeper,
+                   (CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT AS is_rep
+            FROM k
+        """,
+        "er_cluster_metrics": f"WITH RECURSIVE {_CLUSTERS} "
+        + """,
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM clusters GROUP BY cluster_id
+            )
+            SELECT cluster_size::BIGINT AS cluster_size,
+                   count(*)::BIGINT AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        "catalogue_type_filter": f"WITH {_CATALOGUE} "
+        + """
+            SELECT ent_id, ent_index, n_docs::BIGINT AS n_docs
+            FROM cat WHERE substr(ent_id, 1, 3) IN ('en_', 'de_')
         """,
         "el_context_windows": """
             SELECT doc_id,

@@ -630,6 +630,101 @@ def el_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def el_span_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E2 (SpanEncoder + mention_mlp, joint_el_task.py:129-165): the top-5
+    candidate spans encoded by concatenating start/end token embeddings and
+    projecting. One-hot hash embeddings collapse the projection to two
+    integer lookups into the literal weight matrix — no UDF, integer-exact,
+    oracle-replayed."""
+    from bela_spark.operators import spans as spans_ops
+
+    _, tok, cand = _e4_candidates(spark, sf_dir)
+    top = spans_ops.pruned_spans(cand, k=5).select("doc_id", "start_pos", "end_pos")
+    out = spans_ops.span_encodings(top, tok)
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("end_pos").cast("bigint").alias("end_pos"),
+        F.col("proj_l1").cast("bigint").alias("proj_l1"),
+        "proj_md5",
+    )
+
+
+def el_mention_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 full parity (prepare_mention, blink_transform.py:41-78): subword
+    mention context with [START]/[END] markers and the token-budget split
+    (quota rebalancing included) — replaces the char-substring simplification
+    of el_context_windows."""
+    from bela_spark.functions.subword import prepare_mention_arrays, word_piece_ids_col, word_piece_counts
+
+    words = _word_table(spark, sf_dir)
+    per_doc = (
+        words.select("doc_id", "pos", word_piece_ids_col(F.col("token")).alias("pids"))
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pids"))),
+                    lambda s: s["pids"],
+                )
+            ).alias("ids")
+        )
+    )
+    m = word_piece_counts(words)
+    s = m.filter((F.col("pos") % 5) == 1).select("doc_id", "pos", "sp_start")
+    e = m.select("doc_id", (F.col("pos") - 1).alias("pos"), "sp_end")
+    j = s.join(e, ["doc_id", "pos"]).join(per_doc, "doc_id")
+    n = F.size("ids")
+    left = F.slice("ids", 1, F.col("sp_start") - 1)
+    mention = F.slice("ids", F.col("sp_start"), F.col("sp_end") - F.col("sp_start"))
+    right = F.slice("ids", F.col("sp_end"), F.greatest(n - F.col("sp_end") + 1, F.lit(0)))
+    ctx = prepare_mention_arrays(left, mention, right)
+    j = j.withColumn("_ctx", ctx)
+    return j.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("word_pos"),
+        F.size("_ctx").cast("bigint").alias("n_context"),
+        F.md5(F.concat_ws(",", F.transform("_ctx", lambda x: x.cast("string")))).alias(
+            "ctx_md5"
+        ),
+    )
+
+
+def er_exact_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (in-batch dedup + remap, joint_el_task.py batch dedup analogue):
+    every doc mapped to its exact-content keeper (min doc_id per sha)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("sha"))
+    w = W.partitionBy("sha")
+    out = d.withColumn("keeper", F.min("doc_id").over(w))
+    return out.select(
+        "doc_id",
+        "keeper",
+        (F.col("doc_id") == F.col("keeper")).cast("bigint").alias("is_rep"),
+    )
+
+
+def er_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 metrics surface: cluster-size histogram of the final assignment
+    (the lineage/metrics rollup a predictions sink would log)."""
+    clusters = er_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters")
+
+
+def catalogue_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (entity-type predicate): keep catalogue entities of selected types
+    (type = the lang facet of the entity id)."""
+    from bela_spark.operators.catalogue import entity_catalogue
+
+    d = _docs(spark, sf_dir).withColumn("norm", normalized("text"))
+    cat = entity_catalogue(d)
+    return cat.filter(F.substring("ent_id", 1, 3).isin("en_", "de_")).select(
+        "ent_id", "ent_index", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
 def el_window_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (group_predictions_by_example, bela/utils/prediction_utils.py:47-72):
     regroup exploded windows per document in offset order."""
