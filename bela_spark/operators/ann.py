@@ -139,6 +139,94 @@ def lsh_topk(
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(n_cells: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (md5-derived, same scheme as
+    _hyperplanes) — the trained k-means codebook of a FAISS IVF index replaced
+    by a fixed random codebook (the operator shape is what's preserved)."""
+    return _hyperplanes(n_cells, dim, seed + 7_000_000)
+
+
+def ivf_cell_assignments(
+    embedded: DataFrame,
+    n_cells: int = 16,
+    n_probes: int = 1,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """(id, cell, cell_rank): each vector's top-n_probes cells by inner
+    product with the literal centroids (ties -> lowest cell id). n_probes=1
+    is the index-build assignment; n_probes>1 is the query-side multi-probe.
+    cell_cap bounds each cell to its lowest ids (skew bound, SQL-replayable)."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    dots = F.array(
+        *[
+            F.struct(
+                dot_product(F.col(emb_col), F.array(*[F.lit(v) for v in c])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ex = embedded.select(F.col(id_col), F.explode(dots).alias("dc"))
+    ex = ex.select(id_col, F.col("dc.cell").alias("cell"), F.col("dc.d").alias("d"))
+    w = W.partitionBy(id_col).orderBy(F.desc("d"), F.asc("cell"))
+    out = (
+        ex.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probes)
+        .select(id_col, "cell", "cell_rank")
+    )
+    if cell_cap is not None:
+        wc = W.partitionBy("cell").orderBy(id_col)
+        out = (
+            out.filter(F.col("cell_rank") == 1)
+            .withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
+    return out
+
+
+def ivf_topk(
+    embedded: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probes: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: catalog vectors live in their argmax cell
+    (capped), queries probe their top-n_probes cells, exact rerank inside the
+    probed cells — the FAISS IVF search shape (coarse quantize -> probe ->
+    exact scan) as two equi-joins, no crossJoin."""
+    cat_cells = ivf_cell_assignments(
+        embedded, n_cells, 1, dim, seed, id_col, emb_col, cell_cap
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    probe_cells = ivf_cell_assignments(
+        embedded, n_cells, n_probes, dim, seed, id_col, emb_col
+    ).select(F.col(id_col).alias("vec_id"), "cell")
+    e = embedded.select(F.col(id_col), F.col(emb_col))
+    cand = (
+        probe_cells.join(cat_cells, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    j = (
+        cand.join(e.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")), "vec_id")
+        .join(e.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")), "neighbor_id")
+        .withColumn("ip_score", dot_product("qe", "ce"))
+        .drop("qe", "ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_recall_vs_brute(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
     """One row (recall, n_exact, n_hit): fraction of exact top-k edges the
     approximate index recovered — the CORRECTNESS companion that keeps the

@@ -14,6 +14,48 @@ from __future__ import annotations
 # constants and bucket caps.
 NEARDUP_LSH = dict(n_planes=6, n_tables=8, dim=64, seed=42, bucket_cap=64)
 ANN_LSH = dict(n_planes=8, n_tables=4, dim=64, seed=42, bucket_cap=64)
+ANN_IVF = dict(n_cells=16, n_probes=2, dim=64, seed=42, cell_cap=64)
+
+
+def _ivf_cells_sql(
+    n_cells: int,
+    n_probes: int,
+    dim: int,
+    seed: int,
+    cell_cap: int,
+    id_col: str = "vec_id",
+    src: str = "e",
+) -> str:
+    """CTE chain computing the SAME IVF cell assignments as
+    operators.ann.ivf_cell_assignments: literal centroid VALUES, inner-product
+    argmax with lowest-cell tie-break, lowest-ids-win cell cap."""
+    from bela_spark.operators.ann import ivf_centroids
+
+    rows = ",\n      ".join(
+        f"({i}, [" + ", ".join(repr(v) for v in c) + "]::DOUBLE[])"
+        for i, c in enumerate(ivf_centroids(n_cells, dim, seed))
+    )
+    return f"""
+    cents(cell, cvals) AS (VALUES {rows}),
+    cellranks AS (
+      SELECT {id_col}, cell, row_number() OVER (
+        PARTITION BY {id_col} ORDER BY d DESC, cell ASC) AS cell_rank
+      FROM (
+        SELECT s.{id_col}, c.cell, list_inner_product(s.emb, c.cvals) AS d
+        FROM {src} s, cents c
+      )
+    ),
+    cat_cells AS (
+      SELECT {id_col} AS neighbor_id, cell FROM (
+        SELECT {id_col}, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY {id_col}) AS rn
+        FROM cellranks WHERE cell_rank = 1
+      ) WHERE rn <= {cell_cap}
+    ),
+    probe_cells AS (
+      SELECT {id_col} AS qvec_id, cell FROM cellranks WHERE cell_rank <= {n_probes}
+    )
+    """
 
 
 def _lsh_keys_sql(
@@ -500,6 +542,72 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
               FROM bkeys a JOIN bkeys b USING (key)
               WHERE a.vec_id <> b.vec_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            approx AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                FROM sc) WHERE rank <= 5
+            ),
+            xs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_inner_product(a.emb, b.emb) AS ip
+              FROM e a, e b WHERE a.vec_id <> b.vec_id
+            ),
+            exact AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                FROM xs) WHERE rank <= 5
+            ),
+            j AS (
+              SELECT x.vec_id, x.neighbor_id,
+                     CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+              FROM exact x LEFT JOIN approx a
+                ON a.vec_id = x.vec_id AND a.neighbor_id = x.neighbor_id
+            )
+            SELECT count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_hit,
+                   floor(sum(hit) / count(*)::DOUBLE * 1000000) / 1000000 AS recall
+            FROM j
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_ivf_cells_sql(**ANN_IVF)},
+            cand AS (
+              SELECT DISTINCT p.qvec_id AS vec_id, c.neighbor_id
+              FROM probe_cells p JOIN cat_cells c USING (cell)
+              WHERE p.qvec_id <> c.neighbor_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            iranked AS (
+              SELECT vec_id, neighbor_id, ip, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+              FROM sc
+            )
+            SELECT vec_id, neighbor_id,
+                   floor(ip * 1000000) / 1000000 AS ip_score, rank::BIGINT AS rank
+            FROM iranked WHERE rank <= 5
+        """,
+        "ann_ivf_recall": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_ivf_cells_sql(**ANN_IVF)},
+            cand AS (
+              SELECT DISTINCT p.qvec_id AS vec_id, c.neighbor_id
+              FROM probe_cells p JOIN cat_cells c USING (cell)
+              WHERE p.qvec_id <> c.neighbor_id
             ),
             sc AS (
               SELECT c.vec_id, c.neighbor_id,

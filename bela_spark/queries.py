@@ -313,7 +313,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # LSH blocking configuration shared verbatim with the DuckDB oracles (the
 # plane constants are emitted as SQL literals by oracles._lsh_keys_sql).
-from bela_spark.oracles import ANN_LSH, NEARDUP_LSH
+from bela_spark.oracles import ANN_IVF, ANN_LSH, NEARDUP_LSH
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +494,35 @@ def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6("precision").alias("precision"),
         f6("recall").alias("recall"),
         f6("f1").alias("f1"),
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (FAISS IVF search shape: coarse quantize ->
+    multi-probe -> exact rerank inside probed cells). Deterministic md5
+    codebook, capped cells, full DuckDB oracle."""
+    from bela_spark.operators.ann import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    out = ivf_topk(e, k=5, **ANN_IVF)
+    return out.select(
+        "vec_id", "neighbor_id", f6("ip_score").alias("ip_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the IVF top-5 edge set vs the brute-force anchor."""
+    from bela_spark.operators.ann import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    approx = ivf_topk(e, k=5, **ANN_IVF)
+    exact = brute_force_topk(e, e, k=5)
+    out = lsh_recall_vs_brute(approx, exact)
+    return out.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        f6("recall").alias("recall"),
     )
 
 

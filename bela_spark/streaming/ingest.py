@@ -12,10 +12,13 @@ linked against the ACCUMULATED record state via foreachBatch:
              -> connected components re-run over the full edge log
              -> cluster table overwritten (checkpointed parquet)
 
-No watermark: content keys are not temporal. Re-running CC per batch is
-correct-by-construction (CC is idempotent over the edge log); an incremental
-CC (only affected components) is a pure optimization left for the batch
-checkpoints to amortize.
+No watermark: content keys are not temporal. Clustering is INCREMENTAL: CC
+re-runs only over components touched by the batch's new edges (stored edges
+are intra-component, so the touched subgraph is closed under old edges whose
+id1 lies in a touched component); untouched components carry their stored
+assignment. cluster_id = min member rid is a per-component property, so the
+incremental answer equals a full re-run over the whole edge log — pinned by
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -102,10 +105,13 @@ class IncrementalLinkage:
         old_edges = self._existing(spark, self.edges_dir, "id1 string, id2 string")
         all_edges = old_edges.unionByName(new_edges).distinct().localCheckpoint()
 
-        cc = connected_components(all_edges, max_rounds=cfg.max_cc_rounds)
+        old_clusters = self._existing(
+            spark, self.clusters_dir, "rid string, cluster_id string"
+        )
+        assignments = self._incremental_cc(new_edges, old_edges, old_clusters)
         clusters = (
             all_records.select("rid")
-            .join(cc.assignments, "rid", "left")
+            .join(assignments, "rid", "left")
             .withColumn("cluster_id", F.coalesce("component", "rid"))
             .drop("component")
         )
@@ -114,6 +120,50 @@ class IncrementalLinkage:
         all_records.write.mode("overwrite").parquet(self.records_dir)
         all_edges.write.mode("overwrite").parquet(self.edges_dir)
         clusters.localCheckpoint().write.mode("overwrite").parquet(self.clusters_dir)
+
+    def _incremental_cc(
+        self, new_edges: DataFrame, old_edges: DataFrame, old_clusters: DataFrame
+    ) -> DataFrame:
+        """(rid, component) for rids in any edge — incremental connected
+        components: CC re-runs ONLY over components touched by this batch's
+        edges; untouched components keep their stored assignment.
+
+        Correct-by-construction equivalence with a full re-run (pinned by
+        tests/test_streaming.py): stored edges are intra-component, so the
+        touched subgraph = every old edge whose id1 falls in a touched
+        component, plus the new edges. cluster_id = min member rid is a local
+        property of each component, hence identical to the full-log answer.
+        """
+        cfg = self.cfg
+        if old_clusters.isEmpty() or old_edges.isEmpty():
+            cc = connected_components(
+                old_edges.unionByName(new_edges).distinct(), max_rounds=cfg.max_cc_rounds
+            )
+            return cc.assignments
+
+        ep = (
+            new_edges.select(F.col("id1").alias("rid"))
+            .unionByName(new_edges.select(F.col("id2").alias("rid")))
+            .distinct()
+        )
+        touched_cl = (
+            old_clusters.join(ep, "rid", "left_semi").select("cluster_id").distinct()
+        )
+        touched_rids = old_clusters.join(
+            F.broadcast(touched_cl), "cluster_id", "left_semi"
+        ).select(F.col("rid").alias("id1"))
+        sub_edges = (
+            old_edges.join(touched_rids, "id1", "left_semi")
+            .unionByName(new_edges)
+            .distinct()
+        )
+        cc = connected_components(sub_edges, max_rounds=cfg.max_cc_rounds)
+        # untouched components carry over verbatim (singleton self-rows are
+        # harmless: component == rid is what coalesce(rid) would produce)
+        untouched = old_clusters.join(
+            F.broadcast(touched_cl), "cluster_id", "left_anti"
+        ).select("rid", F.col("cluster_id").alias("component"))
+        return cc.assignments.unionByName(untouched)
 
     def start(self, spark: SparkSession, input_dir: str, checkpoint_dir: str):
         """readStream on a file source -> foreachBatch(process_batch)."""

@@ -11,6 +11,33 @@ from bela_spark.pipeline import run_linkage
 from bela_spark.streaming.ingest import IncrementalLinkage
 
 
+def test_incremental_cc_merges_components(spark, tmp_path):
+    """_incremental_cc must equal a full CC re-run when a batch edge MERGES
+    two previously-separate components, leaves another untouched, and links
+    brand-new rids."""
+    from bela_spark.operators.cc import connected_components
+
+    inc = IncrementalLinkage(str(tmp_path / "state"))
+    old_edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], "id1 string, id2 string"
+    )
+    old_clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"), ("e", "e"), ("f", "e"), ("g", "g")],
+        "rid string, cluster_id string",
+    )
+    new_edges = spark.createDataFrame([("b", "c"), ("g", "h")], "id1 string, id2 string")
+    out = {
+        r["rid"]: r["component"]
+        for r in inc._incremental_cc(new_edges, old_edges, old_clusters).collect()
+    }
+    assert out["a"] == out["b"] == out["c"] == out["d"] == "a"  # merged
+    assert out["e"] == "e" and out["f"] == "e"  # untouched carry-over
+    assert out["g"] == "g" and out["h"] == "g"  # new linkage
+    full = connected_components(old_edges.unionByName(new_edges))
+    fullmap = {r["rid"]: r["component"] for r in full.assignments.collect()}
+    assert all(out[k] == v for k, v in fullmap.items())
+
+
 @pytest.mark.slow
 def test_incremental_matches_batch(spark, tmp_path):
     cfg = LinkageConfig()
