@@ -1009,6 +1009,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT ent_id, ent_index, n_docs::BIGINT AS n_docs
             FROM cat WHERE substr(ent_id, 1, 3) IN ('en_', 'de_')
         """,
+        "el_detect_thresholded_f1": f"WITH {_E4_SPANS} "
+        + """,
+            gated AS (
+              SELECT * FROM spans WHERE score >= 500 * (n_tokens + 2)
+            ),
+            w1 AS (
+              SELECT *, lag("offset" + length) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+              FROM gated
+            ),
+            w2 AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR "offset" >= prev_end
+                             THEN 1 ELSE 0 END AS is_new FROM w1
+            ),
+            w3 AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+              FROM w2
+            ),
+            w4 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id, session
+                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+              FROM w3
+            ),
+            merged AS (
+              SELECT * FROM w4 WHERE rn = 1
+                AND ('0x' || substr(md5('el:' || doc_id::VARCHAR || ':'
+                       || start_pos::VARCHAR || ':' || end_pos::VARCHAR), 1, 6))::BIGINT
+                    % 1000 >= 500
+            ),
+            pred AS (
+              SELECT p.doc_id, p."offset", p.length,
+                     substr(r.norm, p."offset", p.length) AS ent
+              FROM merged p JOIN recs r USING (doc_id)
+            ),
+            gold AS (
+              SELECT s.doc_id, s.char_start AS "offset",
+                     (e.char_end - s.char_start + 1) AS length,
+                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
+              FROM tokt s
+              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+              JOIN recs r ON r.doc_id = s.doc_id
+              WHERE s.pos % 7 = 1
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
+                     THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fp,
+                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fn
+              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """,
         "el_context_windows": """
             SELECT doc_id,
                    substr(text, greatest((doc_id % 20 + 1) - 20, 1)::INT,

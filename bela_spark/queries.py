@@ -659,6 +659,73 @@ def el_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def el_detect_thresholded_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold ORDER semantics (SURVEY §7 hard part 4): the reference
+    gates by md score BEFORE the overlap merge (model_eval.py:196-204) and by
+    el score AFTER it (compute_scores, model_eval.py:325-335) — the order
+    changes F1 because the merge winner depends on which spans survive the
+    first gate. md gate: span score >= 500 per covered token (length-fair on
+    the integer logits); el gate: an independent hash score >= 500."""
+    from bela_spark.operators import spans as spans_ops
+
+    r, tok, cand = _e4_candidates(spark, sf_dir)
+    norm = r.select("doc_id", "norm")
+    el_score = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("el"),
+                        F.col("doc_id").cast("string"),
+                        F.col("start_pos").cast("string"),
+                        F.col("end_pos").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    gated_md = cand.filter(F.col("score") >= 500 * (F.col("n_tokens") + 2))
+    merged = el_ops.merge_overlapping_spans(gated_md)
+    gated_el = merged.withColumn("el_score", el_score).filter(F.col("el_score") >= 500)
+    pred = gated_el.join(norm, "doc_id").select(
+        "doc_id",
+        "offset",
+        "length",
+        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
+    )
+    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
+    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
+    gold = (
+        s.join(e, ["doc_id", "pos"])
+        .join(norm, "doc_id")
+        .select(
+            "doc_id",
+            F.col("char_start").alias("offset"),
+            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
+            F.substring(
+                F.col("norm"),
+                F.col("char_start"),
+                F.col("char_end") - F.col("char_start") + 1,
+            ).alias("ent_id"),
+        )
+    )
+    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
+    return out.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("precision").alias("precision"),
+        f6("recall").alias("recall"),
+        f6("f1").alias("f1"),
+    )
+
+
 def el_span_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+E2 (SpanEncoder + mention_mlp, joint_el_task.py:129-165): the top-5
     candidate spans encoded by concatenating start/end token embeddings and
