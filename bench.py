@@ -50,9 +50,14 @@ def main() -> None:
     # 1. flagship: full ER pipeline over the driver documents table
     timed("flagship_clusters", lambda: q.er_flagship_clusters(spark, sf_dir).collect())
 
-    # 2. linkage throughput on synthesized repo_files (the north-rule job)
+    # 2. linkage throughput on synthesized repo_files (the north-rule job).
+    # Synthesis stays LAZY inside the plan: it is pure generated-column
+    # codegen that fuses into the first stage (measured: materializing it
+    # first via localCheckpoint costs ~60s of ser/de at sf0.1 — slower than
+    # recomputing it inline), so the timed DAG includes it at ~zero cost.
+    df = synth_repo_files(spark, n_linkage, seed=42)
+
     def _linkage():
-        df = synth_repo_files(spark, n_linkage, seed=42)
         run = run_linkage(df, LinkageConfig(), collapse_exact=True)
         n_pairs = run.scored.count()
         n_clusters = run.clusters.select("cluster_id").distinct().count()
