@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q.tpch_pricing_summary,
         "tpch_top_customers": _q.tpch_top_customers,
         "events_type_stats": _q.events_type_stats,
+        "events_hourly_windows": _q.events_hourly_windows,
         # UDF-backed (rows-only checks)
         "embed_documents": _q.embed_documents,
         "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,

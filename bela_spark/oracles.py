@@ -699,6 +699,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, source AS top_source, n AS n_docs FROM r WHERE rn = 1
         """,
+        "events_hourly_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 1000000) / 1000000 AS total_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
         "events_type_stats": """
             SELECT event_type, count(*)::BIGINT AS n_events,
                    floor(avg(value) * 1000000) / 1000000 AS avg_value,

@@ -840,6 +840,22 @@ def el_window_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select("doc_id", F.col("n_windows").cast("bigint").alias("n_windows"), "windows_md5")
 
 
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch face of the streaming windowed
+    agg in streaming/windows.py — same code path): hourly counts + value sums
+    per event type."""
+    from bela_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        f6("total_value").alias("total_value"),
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan/agg breadth on the events table (S-family)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
