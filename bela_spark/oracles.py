@@ -233,9 +233,12 @@ tok1 AS (
   SELECT doc_id, pos, token,
     sum(length(token)) OVER (PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len,
-    ('0x' || substr(md5('s:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS start_l,
-    ('0x' || substr(md5('e:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS end_l,
-    ('0x' || substr(md5('m:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000 AS mention_l
+    ('0x' || substr(md5('s:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000
+      + (CASE WHEN pos % 7 = 1 THEN 1500 ELSE 0 END) AS start_l,
+    ('0x' || substr(md5('e:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000
+      + (CASE WHEN pos % 7 = 2 THEN 1500 ELSE 0 END) AS end_l,
+    ('0x' || substr(md5('m:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || token), 1, 6))::BIGINT % 1000
+      - 500 AS mention_l
   FROM tok0
 ),
 tokt AS (
@@ -1015,10 +1018,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT ent_id, ent_index, n_docs::BIGINT AS n_docs
             FROM cat WHERE substr(ent_id, 1, 3) IN ('en_', 'de_')
         """,
+        "el_windowed_detect_f1": f"WITH {_E4_SPANS} "
+        + """,
+            winspans AS (
+              SELECT *, unnest(generate_series(
+                       greatest(ceil((end_pos - 24) / 12.0), 0)::INT,
+                       floor((start_pos - 1) / 12.0)::INT)) AS win
+              FROM spans
+            ),
+            prunedw AS (
+              SELECT DISTINCT doc_id, "offset", length, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, win
+                  ORDER BY score DESC, "offset" ASC, length ASC) AS rk
+                FROM winspans) WHERE rk <= 5
+            ),
+            w1 AS (
+              SELECT *, lag("offset" + length) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+              FROM prunedw
+            ),
+            w2 AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR "offset" >= prev_end
+                             THEN 1 ELSE 0 END AS is_new FROM w1
+            ),
+            w3 AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+              FROM w2
+            ),
+            w4 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id, session
+                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+              FROM w3
+            ),
+            pred AS (
+              SELECT p.doc_id, p."offset", p.length,
+                     substr(r.norm, p."offset", p.length) AS ent
+              FROM w4 p JOIN recs r USING (doc_id) WHERE p.rn = 1
+            ),
+            gold AS (
+              SELECT s.doc_id, s.char_start AS "offset",
+                     (e.char_end - s.char_start + 1) AS length,
+                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
+              FROM tokt s
+              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+              JOIN recs r ON r.doc_id = s.doc_id
+              WHERE s.pos % 7 = 1
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
+                     THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fp,
+                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fn
+              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """,
         "el_detect_thresholded_f1": f"WITH {_E4_SPANS} "
         + """,
             gated AS (
-              SELECT * FROM spans WHERE score >= 500 * (n_tokens + 2)
+              SELECT * FROM spans WHERE score >= 2500
             ),
             w1 AS (
               SELECT *, lag("offset" + length) OVER (

@@ -12,7 +12,12 @@ from bela_spark.operators.spans import candidate_spans, pruned_spans, token_tabl
 
 def _logit(tag, doc_id, pos, token):
     h = hashlib.md5(f"{tag}:{doc_id}:{pos}:{token}".encode()).hexdigest()
-    return int(h[:6], 16) % 1000
+    noise = int(h[:6], 16) % 1000
+    if tag == "s":
+        return noise + (1500 if pos % 7 == 1 else 0)
+    if tag == "e":
+        return noise + (1500 if pos % 7 == 2 else 0)
+    return noise - 500  # centered mention logit (log-prob analogue)
 
 
 def _records(spark, rows):
