@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrr": _q.ann_mrr,
         "ann_lsh_topk": _q.ann_lsh_topk,
         "ann_lsh_recall": _q.ann_lsh_recall,
+        "ann_lsh_bucket_drops": _q.ann_lsh_bucket_drops,
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
         "ann_disambiguation_acc": _q.ann_disambiguation_acc,

@@ -74,7 +74,12 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
     return j + prefix * p * (1.0 - j)
 
 
-JW_MAX_CHARS = 32  # bounded-prefix JW, same bound philosophy as lev_max_chars
+# Bounded-prefix JW: inputs are truncated to this many chars (a deliberate
+# O(L^2)-bound, NOT full-string JW). Matches LinkageConfig.lev_max_chars so
+# the two bounded string features see the same prefix of the slimmed norms —
+# r2 review fix: this was 32 while the lev feature used 64, silently changing
+# JW values for 33-64 char norms.
+JW_MAX_CHARS = 64
 
 
 def jaro_winkler_batch(
@@ -146,8 +151,9 @@ def jaro_winkler_batch(
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched, numpy-vectorized Jaro-Winkler over string pairs —
-    whole-batch matrix kernels, no per-row Python inside the batch."""
+    """Arrow-batched, numpy-vectorized BOUNDED-PREFIX Jaro-Winkler (first
+    JW_MAX_CHARS chars) — whole-batch matrix kernels, no per-row Python
+    inside the batch."""
     return pd.Series(
         jaro_winkler_batch(a.fillna("").to_numpy(dtype=object), b.fillna("").to_numpy(dtype=object))
     )

@@ -106,6 +106,26 @@ def lsh_bucket_keys(
     return out
 
 
+def lsh_bucket_drops(
+    embedded: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(key, n_ids, n_dropped) for every bucket truncated by bucket_cap — the
+    never-silent-truncation companion of lsh_bucket_keys (same contract as
+    pairs.cap_keys: bounded fan-out is a feature, silent truncation is not)."""
+    keys = lsh_bucket_keys(embedded, n_planes, n_tables, dim, seed, id_col, emb_col)
+    g = keys.groupBy("key").agg(F.count("*").alias("n_ids"))
+    return g.filter(F.col("n_ids") > bucket_cap).select(
+        "key", "n_ids", (F.col("n_ids") - bucket_cap).alias("n_dropped")
+    )
+
+
 def lsh_topk(
     embedded: DataFrame,
     k: int = 5,
@@ -159,7 +179,11 @@ def ivf_cell_assignments(
     """(id, cell, cell_rank): each vector's top-n_probes cells by inner
     product with the literal centroids (ties -> lowest cell id). n_probes=1
     is the index-build assignment; n_probes>1 is the query-side multi-probe.
-    cell_cap bounds each cell to its lowest ids (skew bound, SQL-replayable)."""
+    cell_cap bounds each cell to its lowest ids (skew bound, SQL-replayable);
+    it applies to the INDEX-BUILD side only and therefore requires
+    n_probes=1 — passing both is an error, never a silent single-probe."""
+    if cell_cap is not None and n_probes != 1:
+        raise ValueError("cell_cap applies to the rank-1 build side; use n_probes=1")
     cents = ivf_centroids(n_cells, dim, seed)
     dots = F.array(
         *[

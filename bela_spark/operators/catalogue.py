@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from bela_spark.functions.subword import BOS_ID, EOS_ID, PIECE_CHARS, VOCAB
+from bela_spark.functions.subword import BOS_ID, EOS_ID, word_piece_ids_col
 
 PAD_WIDTH = 16       # fixed row width (token slots) of the emulated h5 matrix
 MAX_ENTITY_LEN = 8   # blink_transform max_entity_len analogue
@@ -43,29 +43,11 @@ def entity_catalogue(
 
 
 def _title_token_ids(title: Column) -> Column:
-    """Ordered hash-subword ids of a title: words -> PIECE_CHARS-char chunks
-    -> md5 ids, flattened in (word, piece) order — nested JVM lambdas only."""
+    """Ordered hash-subword ids of a title: words -> word_piece_ids_col,
+    flattened in (word, piece) order — the SAME kernel as the subword
+    tokenizer, so catalogue tokens and text tokens share one id space."""
     words = F.filter(F.split(title, " "), lambda t: F.length(t) > 0)
-    return F.flatten(
-        F.transform(
-            words,
-            lambda t: F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.length(t) + PIECE_CHARS - 1) / PIECE_CHARS).cast("int") - 1,
-                ),
-                lambda j: F.conv(
-                    F.substring(
-                        F.md5(F.substring(t, j * PIECE_CHARS + 1, PIECE_CHARS)), 1, 6
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % VOCAB
-                + 4,
-            ),
-        )
-    )
+    return F.flatten(F.transform(words, word_piece_ids_col))
 
 
 def tokenized_catalogue(cat: DataFrame, pad_width: int = PAD_WIDTH) -> DataFrame:

@@ -130,6 +130,24 @@ def _manifest_input_sig(ckpt: str, n: int) -> tuple[int, int] | None:
         return None
 
 
+def _clear_rounds(ckpt: str) -> None:
+    """Remove every round dir + manifest: a fresh run must not leave stale
+    higher-numbered rounds behind (a later resume would find latest_round()
+    pointing at a round from the OLD input, mismatch forever, and pay a
+    from-scratch run on every invocation)."""
+    import shutil
+
+    for name in os.listdir(ckpt):
+        path = os.path.join(ckpt, name)
+        if name.startswith("round="):
+            shutil.rmtree(path, ignore_errors=True)
+        elif name.startswith("manifest_round_"):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
 def latest_round(ckpt: str) -> int | None:
     """Newest complete checkpoint round, or None. Completeness = parquet
     _SUCCESS marker + manifest present (a killed job can't leave a torn round)."""
@@ -173,6 +191,11 @@ def connected_components(
                 # checkpoint) fall back to a fresh run rather than silently
                 # returning the previous run's components
                 recorded = _manifest_input_sig(checkpoint_dir, lr)
+                # materialize BEFORE the signature: validation needs one full
+                # pass anyway, and on mismatch the fresh run below reuses the
+                # checkpointed frame instead of re-executing the (possibly
+                # expensive) upstream scoring DAG a second time
+                cur = cur.localCheckpoint()
                 input_sig = _signature(cur)
                 if recorded == input_sig:
                     cur = spark.read.parquet(_round_dir(checkpoint_dir, lr))
@@ -187,6 +210,7 @@ def connected_components(
     # materialize BEFORE computing the signature so the (possibly expensive)
     # upstream scoring DAG runs exactly once
     if checkpoint_dir and start_round == 0:
+        _clear_rounds(checkpoint_dir)  # no stale rounds from a previous input
         cur = _persist_round(spark, cur, checkpoint_dir, 0)
         prev_sig = _signature(cur)
         input_sig = prev_sig

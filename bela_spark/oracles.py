@@ -220,6 +220,39 @@ clusters AS (
 )
 """
 
+# Shared tail of every detect-F1 oracle: the deterministic gold mentions
+# (2-token spans every 7 positions) strong-matched against a `pred` CTE,
+# reduced to micro P/R/F1 (one definition, three queries).
+_E4_GOLD_PRF1 = """,
+            gold AS (
+              SELECT s.doc_id, s.char_start AS "offset",
+                     (e.char_end - s.char_start + 1) AS length,
+                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
+              FROM tokt s
+              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
+              JOIN recs r ON r.doc_id = s.doc_id
+              WHERE s.pos % 7 = 1
+            ),
+            m AS (
+              SELECT
+                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
+                     THEN 1 ELSE 0 END AS tp,
+                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fp,
+                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
+                     THEN 1 ELSE 0 END AS fn
+              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
+            ),
+            agg AS (
+              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
+            )
+            SELECT tp, fp, fn,
+                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
+                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
+                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
+            FROM agg
+        """
+
 # E4 candidate-span table replaying operators.spans: md5 integer logits,
 # prefix-sum mention term, explode-over-length + equi-join span generation.
 # Integer logits keep every sum associativity-proof across engines.
@@ -580,6 +613,13 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(hit) / count(*)::DOUBLE * 1000000) / 1000000 AS recall
             FROM j
         """,
+        "ann_lsh_bucket_drops": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_lsh_keys_sql(**dict(ANN_LSH, bucket_cap=10**9))},
+            g AS (SELECT key, count(*) AS n FROM bkeys GROUP BY key)
+            SELECT key, n::BIGINT AS n_ids, (n - 4)::BIGINT AS n_dropped
+            FROM g WHERE n > 4
+        """,
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_ivf_cells_sql(**ANN_IVF)},
@@ -877,35 +917,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.doc_id, p."offset", p.length,
                      substr(r.norm, p."offset", p.length) AS ent
               FROM w4 p JOIN recs r USING (doc_id) WHERE p.rn = 1
-            ),
-            gold AS (
-              SELECT s.doc_id, s.char_start AS "offset",
-                     (e.char_end - s.char_start + 1) AS length,
-                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
-              FROM tokt s
-              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
-              JOIN recs r ON r.doc_id = s.doc_id
-              WHERE s.pos % 7 = 1
-            ),
-            m AS (
-              SELECT
-                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
-                     THEN 1 ELSE 0 END AS tp,
-                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fp,
-                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fn
-              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
-            ),
-            agg AS (
-              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
-            )
-            SELECT tp, fp, fn,
-                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
-                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
-                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
-            FROM agg
-        """,
+            )"""
+        + _E4_GOLD_PRF1,
         "el_span_encodings": f"WITH {_E4_SPANS} "
         + """,
             top5 AS (
@@ -1057,35 +1070,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.doc_id, p."offset", p.length,
                      substr(r.norm, p."offset", p.length) AS ent
               FROM w4 p JOIN recs r USING (doc_id) WHERE p.rn = 1
-            ),
-            gold AS (
-              SELECT s.doc_id, s.char_start AS "offset",
-                     (e.char_end - s.char_start + 1) AS length,
-                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
-              FROM tokt s
-              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
-              JOIN recs r ON r.doc_id = s.doc_id
-              WHERE s.pos % 7 = 1
-            ),
-            m AS (
-              SELECT
-                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
-                     THEN 1 ELSE 0 END AS tp,
-                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fp,
-                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fn
-              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
-            ),
-            agg AS (
-              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
-            )
-            SELECT tp, fp, fn,
-                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
-                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
-                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
-            FROM agg
-        """,
+            )"""
+        + _E4_GOLD_PRF1,
         "el_detect_thresholded_f1": f"WITH {_E4_SPANS} "
         + """,
             gated AS (
@@ -1122,35 +1108,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.doc_id, p."offset", p.length,
                      substr(r.norm, p."offset", p.length) AS ent
               FROM merged p JOIN recs r USING (doc_id)
-            ),
-            gold AS (
-              SELECT s.doc_id, s.char_start AS "offset",
-                     (e.char_end - s.char_start + 1) AS length,
-                     substr(r.norm, s.char_start, e.char_end - s.char_start + 1) AS ent
-              FROM tokt s
-              JOIN tokt e ON e.doc_id = s.doc_id AND e.pos = s.pos + 1
-              JOIN recs r ON r.doc_id = s.doc_id
-              WHERE s.pos % 7 = 1
-            ),
-            m AS (
-              SELECT
-                CASE WHEN p.ent IS NOT NULL AND g.ent IS NOT NULL AND p.ent = g.ent
-                     THEN 1 ELSE 0 END AS tp,
-                CASE WHEN p.ent IS NOT NULL AND (g.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fp,
-                CASE WHEN g.ent IS NOT NULL AND (p.ent IS NULL OR p.ent <> g.ent)
-                     THEN 1 ELSE 0 END AS fn
-              FROM pred p FULL OUTER JOIN gold g USING (doc_id, "offset", length)
-            ),
-            agg AS (
-              SELECT sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM m
-            )
-            SELECT tp, fp, fn,
-                   floor(tp / greatest(tp + fp, 1)::DOUBLE * 1000000) / 1000000 AS precision,
-                   floor(tp / greatest(tp + fn, 1)::DOUBLE * 1000000) / 1000000 AS recall,
-                   floor(2.0 * tp / greatest(2 * tp + fp + fn, 1)::DOUBLE * 1000000) / 1000000 AS f1
-            FROM agg
-        """,
+            )"""
+        + _E4_GOLD_PRF1,
         "el_context_windows": """
             SELECT doc_id,
                    substr(text, greatest((doc_id % 20 + 1) - 20, 1)::INT,

@@ -497,6 +497,23 @@ def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-silent-truncation surface for the ANN scale path: every LSH
+    bucket the cap would truncate, with its drop count (cap=4 here so real
+    drops appear at every sf — the production cap is 64)."""
+    from bela_spark.operators.ann import lsh_bucket_drops
+
+    e = _emb(spark, sf_dir)
+    cfg = {**ANN_LSH}
+    cfg.pop("bucket_cap")
+    out = lsh_bucket_drops(e, bucket_cap=4, **cfg)
+    return out.select(
+        "key",
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (FAISS IVF search shape: coarse quantize ->
     multi-probe -> exact rerank inside probed cells). Deterministic md5
@@ -595,6 +612,49 @@ def _e4_candidates(spark, sf_dir):
     return r, tok, spans_ops.candidate_spans(tok)
 
 
+def _e4_gold(tok, norm):
+    """Deterministic gold mentions: 2-token spans at every 7th position,
+    ent = the covered normalized substring (shared by every detect query)."""
+    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
+    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
+    return (
+        s.join(e, ["doc_id", "pos"])
+        .join(norm, "doc_id")
+        .select(
+            "doc_id",
+            F.col("char_start").alias("offset"),
+            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
+            F.substring(
+                F.col("norm"),
+                F.col("char_start"),
+                F.col("char_end") - F.col("char_start") + 1,
+            ).alias("ent_id"),
+        )
+    )
+
+
+def _spans_as_pred(spans, norm):
+    """(doc_id, offset, length) spans -> pred rows with ent = covered text."""
+    return spans.join(norm, "doc_id").select(
+        "doc_id",
+        "offset",
+        "length",
+        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
+    )
+
+
+def _prf1_out(matched_agg):
+    """Cast/floor discipline for a micro_prf1 one-row output."""
+    return matched_agg.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("precision").alias("precision"),
+        f6("recall").alias("recall"),
+        f6("f1").alias("f1"),
+    )
+
+
 def el_candidate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4+P5+W1 (MentionScoresHead, joint_el_task.py:168-305): score every
     valid (start,end) token span via decomposed hash logits + prefix sums, and
@@ -626,37 +686,9 @@ def el_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     r, tok, cand = _e4_candidates(spark, sf_dir)
     norm = r.select("doc_id", "norm")
     merged = el_ops.merge_overlapping_spans(spans_ops.pruned_spans(cand, k=20))
-    pred = merged.join(norm, "doc_id").select(
-        "doc_id",
-        "offset",
-        "length",
-        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
-    )
-    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
-    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
-    gold = (
-        s.join(e, ["doc_id", "pos"])
-        .join(norm, "doc_id")
-        .select(
-            "doc_id",
-            F.col("char_start").alias("offset"),
-            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
-            F.substring(
-                F.col("norm"),
-                F.col("char_start"),
-                F.col("char_end") - F.col("char_start") + 1,
-            ).alias("ent_id"),
-        )
-    )
-    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
-    return out.select(
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.col("fn").cast("bigint").alias("fn"),
-        f6("precision").alias("precision"),
-        f6("recall").alias("recall"),
-        f6("f1").alias("f1"),
-    )
+    pred = _spans_as_pred(merged, norm)
+    out = el_ops.micro_prf1(el_ops.span_match(pred, _e4_gold(tok, norm)))
+    return _prf1_out(out)
 
 
 WIN_TOKENS = 24   # reference: 254 SP tokens; scaled to the fixture docs
@@ -671,8 +703,6 @@ def el_windowed_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     each window, regrouped per document, merged across window boundaries,
     then scored against gold — T13+E4+W1+W4+W3+A1 in one DAG. A span belongs
     to window w iff it fits entirely inside (w*step, w*step+size]."""
-    from bela_spark.operators import spans as spans_ops
-
     r, tok, cand = _e4_candidates(spark, sf_dir)
     norm = r.select("doc_id", "norm")
     w_lo = F.greatest(F.ceil((F.col("end_pos") - WIN_TOKENS) / WIN_STEP), F.lit(0))
@@ -690,37 +720,9 @@ def el_windowed_detect_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # W4 regroup: the same span surviving in two windows is one prediction
     )
     merged = el_ops.merge_overlapping_spans(pruned)
-    pred = merged.join(norm, "doc_id").select(
-        "doc_id",
-        "offset",
-        "length",
-        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
-    )
-    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
-    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
-    gold = (
-        s.join(e, ["doc_id", "pos"])
-        .join(norm, "doc_id")
-        .select(
-            "doc_id",
-            F.col("char_start").alias("offset"),
-            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
-            F.substring(
-                F.col("norm"),
-                F.col("char_start"),
-                F.col("char_end") - F.col("char_start") + 1,
-            ).alias("ent_id"),
-        )
-    )
-    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
-    return out.select(
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.col("fn").cast("bigint").alias("fn"),
-        f6("precision").alias("precision"),
-        f6("recall").alias("recall"),
-        f6("f1").alias("f1"),
-    )
+    pred = _spans_as_pred(merged, norm)
+    out = el_ops.micro_prf1(el_ops.span_match(pred, _e4_gold(tok, norm)))
+    return _prf1_out(out)
 
 
 def el_detect_thresholded_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,8 +733,6 @@ def el_detect_thresholded_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     first gate. md gate: span score >= 2500 (between the noise floor ~1000
     and the planted-signal level ~4000); el gate: an independent hash score
     >= 500."""
-    from bela_spark.operators import spans as spans_ops
-
     r, tok, cand = _e4_candidates(spark, sf_dir)
     norm = r.select("doc_id", "norm")
     el_score = (
@@ -758,37 +758,9 @@ def el_detect_thresholded_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated_md = cand.filter(F.col("score") >= 2500)
     merged = el_ops.merge_overlapping_spans(gated_md)
     gated_el = merged.withColumn("el_score", el_score).filter(F.col("el_score") >= 500)
-    pred = gated_el.join(norm, "doc_id").select(
-        "doc_id",
-        "offset",
-        "length",
-        F.substring(F.col("norm"), F.col("offset"), F.col("length")).alias("ent_id"),
-    )
-    s = tok.filter((F.col("pos") % 7) == 1).select("doc_id", "pos", "char_start")
-    e = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), "char_end")
-    gold = (
-        s.join(e, ["doc_id", "pos"])
-        .join(norm, "doc_id")
-        .select(
-            "doc_id",
-            F.col("char_start").alias("offset"),
-            (F.col("char_end") - F.col("char_start") + 1).alias("length"),
-            F.substring(
-                F.col("norm"),
-                F.col("char_start"),
-                F.col("char_end") - F.col("char_start") + 1,
-            ).alias("ent_id"),
-        )
-    )
-    out = el_ops.micro_prf1(el_ops.span_match(pred, gold))
-    return out.select(
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.col("fn").cast("bigint").alias("fn"),
-        f6("precision").alias("precision"),
-        f6("recall").alias("recall"),
-        f6("f1").alias("f1"),
-    )
+    pred = _spans_as_pred(gated_el, norm)
+    out = el_ops.micro_prf1(el_ops.span_match(pred, _e4_gold(tok, norm)))
+    return _prf1_out(out)
 
 
 def el_span_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,13 +73,28 @@ class IncrementalLinkage:
         # invalidate lazy readers.
         from pyspark.sql import Window as W
 
-        prio = W.partitionBy("rid").orderBy("_prio")
+        # full tie-break: same rid at the same priority (e.g. one micro-batch
+        # carrying two commits of one file) must also resolve deterministically
+        prio = W.partitionBy("rid").orderBy("_prio", "content_sha", "commit")
         all_records = (
             new_records.withColumn("_prio", F.lit(0))
             .unionByName(existing.withColumn("_prio", F.lit(1)))
             .withColumn("_rn", F.row_number().over(prio))
             .filter(F.col("_rn") == 1)
             .drop("_prio", "_rn")
+            .localCheckpoint()
+        )
+
+        # rids whose content CHANGED in this batch: every stored edge incident
+        # to them was derived from the old content and is now invalid — a
+        # cluster must never outlive the evidence it was built on
+        changed = (
+            new_records.select("rid", "content_sha")
+            .join(
+                existing.select("rid", F.col("content_sha").alias("_old_sha")), "rid"
+            )
+            .filter(F.col("content_sha") != F.col("_old_sha"))
+            .select("rid")
             .localCheckpoint()
         )
 
@@ -96,19 +111,29 @@ class IncrementalLinkage:
             "rid",
         )
         scored_by_key, _ = fused_block_and_score(kwf, cfg, persist=False)
+        # checkpoint: new_edges feeds the edge log, the incremental-CC touched
+        # set AND the cluster table — without this the fused scoring DAG (the
+        # batch's most expensive stage) re-executes per consumer
         new_edges = (
             scored_by_key.filter(F.col("score") >= cfg.score_threshold)
             .select("id1", "id2")
             .distinct()
+            .localCheckpoint()
         )
 
-        old_edges = self._existing(spark, self.edges_dir, "id1 string, id2 string")
+        old_edges_raw = self._existing(spark, self.edges_dir, "id1 string, id2 string")
+        # drop stored edges incident to content-changed rids (stale evidence)
+        old_edges = old_edges_raw.join(
+            changed.withColumnRenamed("rid", "id1"), "id1", "left_anti"
+        ).join(changed.withColumnRenamed("rid", "id2"), "id2", "left_anti")
         all_edges = old_edges.unionByName(new_edges).distinct().localCheckpoint()
 
         old_clusters = self._existing(
             spark, self.clusters_dir, "rid string, cluster_id string"
         )
-        assignments = self._incremental_cc(new_edges, old_edges, old_clusters)
+        assignments = self._incremental_cc(
+            new_edges, old_edges, old_clusters, dirty_rids=changed
+        )
         clusters = (
             all_records.select("rid")
             .join(assignments, "rid", "left")
@@ -122,7 +147,11 @@ class IncrementalLinkage:
         clusters.localCheckpoint().write.mode("overwrite").parquet(self.clusters_dir)
 
     def _incremental_cc(
-        self, new_edges: DataFrame, old_edges: DataFrame, old_clusters: DataFrame
+        self,
+        new_edges: DataFrame,
+        old_edges: DataFrame,
+        old_clusters: DataFrame,
+        dirty_rids: DataFrame | None = None,
     ) -> DataFrame:
         """(rid, component) for rids in any edge — incremental connected
         components: CC re-runs ONLY over components touched by this batch's
@@ -146,6 +175,10 @@ class IncrementalLinkage:
             .unionByName(new_edges.select(F.col("id2").alias("rid")))
             .distinct()
         )
+        if dirty_rids is not None:
+            # content-changed rids lost edges: their old components may SPLIT,
+            # so they are touched even with no new edge incident to them
+            ep = ep.unionByName(dirty_rids.select("rid")).distinct()
         touched_cl = (
             old_clusters.join(ep, "rid", "left_semi").select("cluster_id").distinct()
         )
