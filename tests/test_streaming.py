@@ -39,6 +39,40 @@ def test_incremental_cc_merges_components(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_content_change_invalidates_old_edges(spark, tmp_path):
+    """A replayed rid with CHANGED content must not stay clustered on edges
+    derived from its old content — the cluster dies with its evidence."""
+    import os as _os
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    same = "the quick brown fox jumps over the lazy dog again and again today"
+    input_dir = str(tmp_path / "in")
+    _os.makedirs(input_dir)
+    b1 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", same), ("r", "b.py", "c1", "py", same)], cols
+    )
+    b1.coalesce(1).write.mode("append").parquet(input_dir)
+    inc = IncrementalLinkage(str(tmp_path / "state"), LinkageConfig())
+    q = inc.start(spark, input_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    cl1 = spark.read.parquet(str(tmp_path / "state" / "clusters"))
+    assert cl1.select("cluster_id").distinct().count() == 1  # duplicates linked
+
+    # replay a.py@c1 with UNRELATED content: the old a<->b edge must vanish
+    b2 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "completely unrelated zebra xylophone quantum")], cols
+    )
+    b2.coalesce(1).write.mode("append").parquet(input_dir)
+    q = inc.start(spark, input_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    cl2 = spark.read.parquet(str(tmp_path / "state" / "clusters"))
+    assert cl2.count() == 2
+    assert cl2.select("cluster_id").distinct().count() == 2  # both singletons
+    edges = spark.read.parquet(str(tmp_path / "state" / "edges"))
+    assert edges.count() == 0
+
+
+@pytest.mark.slow
 def test_incremental_matches_batch(spark, tmp_path):
     cfg = LinkageConfig()
     df = synth_repo_files(spark, 300, seed=42).cache()
