@@ -4,9 +4,9 @@ entry(spark)   — flagship query on /root/testdata/sf0.001 (top duplicate-
                  content entities from the full blocking->scoring->clustering
                  pipeline over the documents record table).
 queries()      — one callable per implemented operator (SURVEY.md section 2).
-oracle_sql()   — DuckDB twins for every SQL-expressible query; UDF-backed
-                 queries (pandas-UDF embeddings, LSH ANN, mapInPandas
-                 multimodal) are rows-only checked by design.
+oracle_sql()   — a DuckDB twin for EVERY query, including the UDF-backed ones
+                 (the pandas-UDF kernels are integer/md5-exact, so their
+                 digests and even the embedding-cosine scorer replay in SQL).
 """
 
 from __future__ import annotations
@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_customers": _q.tpch_top_customers,
         "events_type_stats": _q.events_type_stats,
         "events_hourly_windows": _q.events_hourly_windows,
-        # UDF-backed (rows-only checks)
+        # UDF-backed (still fully oracle-checked via exact kernel replays)
         "embed_documents": _q.embed_documents,
         "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
         "multimodal_features": _q.multimodal_features,

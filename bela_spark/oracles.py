@@ -1299,6 +1299,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        # er_scored_pairs_embedding: FULL oracle for the pandas-UDF-scored
+        # pipeline. The UDF's bucket votes are integer sums (exact), the
+        # normalization divides integer-valued float64s by an IEEE sqrt — both
+        # bit-reproducible in SQL — and the cosine reduces to inner products
+        # whose f6-floored values match list_inner_product (same parity as
+        # ann_topk). So even the UDF-backed scorer is value-checked.
+        "er_scored_pairs_embedding": f"WITH {_SCORED} "
+        + """,
+            occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            hs AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || tok), 1, 16))::UBIGINT AS h
+              FROM occ
+            ),
+            votes AS (
+              SELECT doc_id, (h % 64)::INT AS bucket,
+                     sum(CASE WHEN (h // 4294967296) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hs GROUP BY doc_id, (h % 64)::INT
+            ),
+            grid AS (
+              SELECT d.doc_id, g.i
+              FROM (SELECT DISTINCT doc_id FROM documents) d,
+                   (SELECT unnest(generate_series(0, 63))::INT AS i) g
+            ),
+            vec AS (
+              SELECT g.doc_id, g.i, coalesce(v.v, 0)::DOUBLE AS x
+              FROM grid g LEFT JOIN votes v ON v.doc_id = g.doc_id AND v.bucket = g.i
+            ),
+            nrms AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM vec GROUP BY doc_id),
+            emb AS (
+              SELECT v.doc_id,
+                     list(CASE WHEN n.nrm = 0 THEN 0.0 ELSE v.x / n.nrm END
+                          ORDER BY v.i) AS e
+              FROM vec v JOIN nrms n USING (doc_id) GROUP BY v.doc_id
+            ),
+            withcos AS (
+              SELECT s.id1, s.id2, s.f_lev, s.f_jac,
+                     CASE WHEN sqrt(list_inner_product(e1.e, e1.e))
+                             * sqrt(list_inner_product(e2.e, e2.e)) = 0 THEN 0.0
+                          ELSE list_inner_product(e1.e, e2.e)
+                               / (sqrt(list_inner_product(e1.e, e1.e))
+                                  * sqrt(list_inner_product(e2.e, e2.e))) END AS f_cos
+              FROM scored2 s
+              JOIN emb e1 ON e1.doc_id = s.id1
+              JOIN emb e2 ON e2.doc_id = s.id2
+            )
+            SELECT id1, id2,
+                   floor(f_lev * 1000000) / 1000000 AS f_lev,
+                   floor(f_jac * 1000000) / 1000000 AS f_jac,
+                   floor(f_cos * 1000000) / 1000000 AS f_cos,
+                   floor((0.35 * f_lev + 0.35 * f_jac + 0.30 * f_cos) * 1000000)
+                     / 1000000 AS score
+            FROM withcos
+        """,
         # --- UDF-kernel digest twins ------------------------------------------
         # embed_documents: replays the pandas-UDF feature-hashing kernel
         # (functions/vectors.py:_hash_embed_batch) in SQL. h = first 8 bytes of

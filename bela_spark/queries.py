@@ -1141,8 +1141,9 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def er_scored_pairs_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1+E5+E8: candidate pairs scored with the cosine of pandas-UDF text
-    embeddings blended with lev/jaccard (the full bi-encoder-style scorer;
-    rows-only check — the UDF kernel has no SQL twin)."""
+    embeddings blended with lev/jaccard (the full bi-encoder-style scorer).
+    Fully oracle-checked: the UDF's bucket votes are integer-exact, so the
+    normalized embedding doubles — and hence the cosine — replay in SQL."""
     from bela_spark.functions.vectors import cosine_sim
 
     emb = _embedded_docs(spark, sf_dir)
