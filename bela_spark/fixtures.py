@@ -144,7 +144,14 @@ def synth_repo_files(
 ) -> DataFrame:
     """Distributed deterministic repo_files table; `with_truth` keeps the
     hidden duplicate-group id for F1 evaluation (FIXTURES.md F2 labels)."""
-    base = spark.range(0, n_rows, numPartitions=partitions or max(8, n_rows // 50_000))
+    # at least one partition per core: the synthesized frame heads a NARROW
+    # chain (normalize, sha, md5 minhash) whose parallelism is pinned to this
+    # partition count until the first shuffle — 600k rows at 50k/partition
+    # was starving local[32] to 12 cores through the most expensive map stage
+    n_parts = partitions or max(
+        spark.sparkContext.defaultParallelism, 8, n_rows // 50_000
+    )
+    base = spark.range(0, n_rows, numPartitions=n_parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
