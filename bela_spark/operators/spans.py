@@ -121,7 +121,11 @@ def candidate_spans(
         F.col("end_l"),
         F.col("mcum").alias("e_mcum"),
     )
-    j = s.join(e, [id_col, "end_pos"])
+    # both join sides derive from the SAME token table (self-similar size):
+    # broadcasting is never right here — at 400k+ docs AQE's broadcast pick
+    # funnels the whole token table through the driver (maxResultSize blowup,
+    # zero 8->32 core scaling). A shuffle-hash join co-partitions both sides.
+    j = s.join(e.hint("shuffle_hash"), [id_col, "end_pos"])
     return j.select(
         id_col,
         "start_pos",
