@@ -90,17 +90,21 @@ def jaro_winkler_batch(
     Strings are truncated to max_chars (bounded-prefix feature, like
     lev_max_chars) and packed into (N, L) UCS4 code matrices via numpy's
     fixed-width unicode dtype — no per-row Python. The greedy Jaro matching
-    loop runs over the L character POSITIONS (<= 32 iterations), each step a
-    whole-batch boolean matrix op; transpositions use cumsum-rank scatter.
-    Agrees exactly with the scalar `jaro_winkler` for inputs <= max_chars
-    (tests/test_functions.py pins this on random strings).
+    loop runs over the L character POSITIONS, each step a whole-batch boolean
+    matrix op; transpositions use cumsum-rank scatter. L adapts to the
+    batch's longest string (capped at max_chars), so short-norm batches don't
+    pay the full O(n*max_chars^2). Agrees exactly with the scalar
+    `jaro_winkler` for inputs <= max_chars (tests/test_functions.py pins this
+    on random strings).
     """
-    L = max_chars
-    A = np.asarray(list(a), dtype=f"U{L}")
-    B = np.asarray(list(b), dtype=f"U{L}")
-    n = len(A)
+    n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
+    longest = max(max((len(x or "") for x in a), default=0),
+                  max((len(x or "") for x in b), default=0))
+    L = max(1, min(max_chars, longest))
+    A = np.asarray(list(a), dtype=f"U{L}")
+    B = np.asarray(list(b), dtype=f"U{L}")
     ca = A.view(np.uint32).reshape(n, L)
     cb = B.view(np.uint32).reshape(n, L)
     la = (ca != 0).sum(1)

@@ -179,6 +179,7 @@ def connected_components(
     cur = _canonical(edges)
     start_round = 0
     input_sig: tuple[int, int] | None = None
+    _resume_cache: DataFrame | None = None
 
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -191,15 +192,20 @@ def connected_components(
                 # checkpoint) fall back to a fresh run rather than silently
                 # returning the previous run's components
                 recorded = _manifest_input_sig(checkpoint_dir, lr)
-                # materialize BEFORE the signature: validation needs one full
-                # pass anyway, and on mismatch the fresh run below reuses the
-                # checkpointed frame instead of re-executing the (possibly
-                # expensive) upstream scoring DAG a second time
-                cur = cur.localCheckpoint()
+                # cache BEFORE the signature: validation needs one full pass
+                # anyway, and on mismatch the fresh run below reuses the cached
+                # frame instead of re-executing the (possibly expensive)
+                # upstream scoring DAG a second time. persist (not
+                # localCheckpoint) so the match path can unpersist explicitly
+                # instead of orphaning blocks in executor storage.
+                cur = cur.persist()
+                _resume_cache = cur
                 input_sig = _signature(cur)
                 if recorded == input_sig:
                     cur = spark.read.parquet(_round_dir(checkpoint_dir, lr))
                     start_round = lr + 1
+                    _resume_cache.unpersist()
+                    _resume_cache = None
                 else:
                     print(
                         f"[cc] checkpoint at {checkpoint_dir} was built from a "
@@ -212,6 +218,8 @@ def connected_components(
     if checkpoint_dir and start_round == 0:
         _clear_rounds(checkpoint_dir)  # no stale rounds from a previous input
         cur = _persist_round(spark, cur, checkpoint_dir, 0)
+        if _resume_cache is not None:
+            _resume_cache.unpersist()  # round 0 is on parquet now
         prev_sig = _signature(cur)
         input_sig = prev_sig
         _write_manifest(cur, checkpoint_dir, 0, prev_sig, input_sig)

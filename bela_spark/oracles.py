@@ -15,6 +15,12 @@ from __future__ import annotations
 NEARDUP_LSH = dict(n_planes=6, n_tables=8, dim=64, seed=42, bucket_cap=64)
 ANN_LSH = dict(n_planes=8, n_tables=4, dim=64, seed=42, bucket_cap=64)
 ANN_IVF = dict(n_cells=16, n_probes=2, dim=64, seed=42, cell_cap=64)
+# Audit cap for the ann_lsh_bucket_drops query. Deliberately far below the
+# served cap (ANN_LSH bucket_cap=64): at fixture scale no bucket exceeds 64,
+# so the drop-log MECHANISM would be invisible at the production cap — the
+# audit cap makes real drop rows appear at every sf. One constant shared by
+# the Spark query and this SQL twin.
+LSH_DROPS_CAP = 4
 
 
 def _ivf_cells_sql(
@@ -617,8 +623,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_lsh_keys_sql(**dict(ANN_LSH, bucket_cap=10**9))},
             g AS (SELECT key, count(*) AS n FROM bkeys GROUP BY key)
-            SELECT key, n::BIGINT AS n_ids, (n - 4)::BIGINT AS n_dropped
-            FROM g WHERE n > 4
+            SELECT key, n::BIGINT AS n_ids,
+                   (n - {LSH_DROPS_CAP})::BIGINT AS n_dropped
+            FROM g WHERE n > {LSH_DROPS_CAP}
         """,
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

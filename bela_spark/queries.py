@@ -499,14 +499,17 @@ def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-silent-truncation surface for the ANN scale path: every LSH
-    bucket the cap would truncate, with its drop count (cap=4 here so real
-    drops appear at every sf — the production cap is 64)."""
+    bucket the cap would truncate, with its drop count. Audited at
+    LSH_DROPS_CAP (shared with the SQL twin) — deliberately below the served
+    cap of 64, which no fixture bucket reaches; at scale wire this to the
+    production cap."""
     from bela_spark.operators.ann import lsh_bucket_drops
+    from bela_spark.oracles import LSH_DROPS_CAP
 
     e = _emb(spark, sf_dir)
     cfg = {**ANN_LSH}
     cfg.pop("bucket_cap")
-    out = lsh_bucket_drops(e, bucket_cap=4, **cfg)
+    out = lsh_bucket_drops(e, bucket_cap=LSH_DROPS_CAP, **cfg)
     return out.select(
         "key",
         F.col("n_ids").cast("bigint").alias("n_ids"),

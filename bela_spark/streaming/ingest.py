@@ -73,9 +73,11 @@ class IncrementalLinkage:
         # invalidate lazy readers.
         from pyspark.sql import Window as W
 
-        # full tie-break: same rid at the same priority (e.g. one micro-batch
-        # carrying two commits of one file) must also resolve deterministically
-        prio = W.partitionBy("rid").orderBy("_prio", "content_sha", "commit")
+        # full tie-break: the same rid at the same priority (a replayed batch
+        # file carrying duplicate rows for one rid with differing content)
+        # must resolve deterministically — content_sha is the only column
+        # that can differ within a rid (rid = sha256(repo||path||commit))
+        prio = W.partitionBy("rid").orderBy("_prio", "content_sha")
         all_records = (
             new_records.withColumn("_prio", F.lit(0))
             .unionByName(existing.withColumn("_prio", F.lit(1)))
