@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_index": _q.catalogue_index,
         "catalogue_multilang": _q.catalogue_multilang,
+        "catalogue_multilang_entity": _q.catalogue_multilang_entity,
         # subword token space + token catalogue
         "text_subword_tokens": _q.text_subword_tokens,
         "el_token_remap": _q.el_token_remap,

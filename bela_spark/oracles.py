@@ -1292,6 +1292,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE (d.lang || '_' || d.source) IN
                   (SELECT ent_id FROM cat WHERE n_docs >= 3)
         """,
+        "catalogue_multilang_entity": f"WITH {_BASE} "
+        + """,
+            counts AS (
+              SELECT source, lang, count(*) AS n,
+                     min(substr(norm, 1, 30)) AS title
+              FROM recs GROUP BY source, lang
+            ),
+            top AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+                FROM counts) WHERE rn = 1
+            ),
+            tw AS (
+              SELECT source, unnest(generate_series(1, len(ws)))::INT AS wi, ws
+              FROM (SELECT source,
+                           list_filter(string_split(title, ' '), w -> length(w) > 0) AS ws
+                    FROM top)
+            ),
+            tp AS (
+              SELECT source, wi, ws[wi] AS w,
+                     unnest(generate_series(1, (length(ws[wi]) + 3) // 4))::INT AS pj
+              FROM tw
+            ),
+            tids AS (
+              SELECT source, wi, pj,
+                     (('0x' || substr(md5(substr(w, (pj - 1) * 4 + 1, 4)), 1, 6))::BIGINT
+                        % 49996 + 4) AS tid
+              FROM tp
+            ),
+            tl AS (
+              SELECT source, list(tid ORDER BY wi, pj) AS ids
+              FROM tids GROUP BY source
+            )
+            SELECT t.source AS ent_id, t.lang AS top_lang, t.n::BIGINT AS n_docs,
+                   md5(array_to_string(coalesce(l.ids, []::BIGINT[]), ',')) AS tokens_md5
+            FROM top t LEFT JOIN tl l USING (source)
+        """,
         "catalogue_index": """
             SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS ent_index
             FROM (SELECT DISTINCT lang FROM documents)

@@ -579,6 +579,33 @@ def catalogue_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalogue_multilang_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 exact semantics (MultilangEntityCatalogue.__getitem__,
+    mblink/utils/utils.py:80-136): per ENTITY (source), the language with the
+    max doc count wins (deterministic tie-break), and that language's
+    description tokens are returned — here digested via the shared
+    hash-subword kernel over the winning (lang, source) title."""
+    from bela_spark.functions.subword import word_piece_ids_col
+
+    d = _docs(spark, sf_dir).withColumn("norm", normalized("text"))
+    counts = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.min(F.substring("norm", 1, 30)).alias("title"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    words = F.filter(F.split(F.col("title"), " "), lambda t: F.length(t) > 0)
+    ids = F.flatten(F.transform(words, word_piece_ids_col))
+    return top.select(
+        F.col("source").alias("ent_id"),
+        F.col("lang").alias("top_lang"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda x: x.cast("string")))).alias(
+            "tokens_md5"
+        ),
+    )
+
+
 def el_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 (prepare_mention, mblink/transforms/blink_transform.py:41-78):
     budget-split left/right context around a mention span."""
