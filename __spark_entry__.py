@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q.text_quality,
         "text_langid": _q.text_langid,
         "text_fingerprint": _q.text_fingerprint,
+        "text_winnow_fingerprints": _q.text_winnow_fingerprints,
+        "dedup_winnow_pairs": _q.dedup_winnow_pairs,
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_index": _q.catalogue_index,
         "catalogue_multilang": _q.catalogue_multilang,

@@ -7,7 +7,7 @@ for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from bela_spark.functions.text import LANGID_STOPWORDS, normalized, tokens_of
 
@@ -100,4 +100,54 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return d.select(
         id_col,
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("tokens")))).alias("fingerprint"),
+    )
+
+
+# --- Winnowing (rolling k-gram fingerprints, the MOSS scheme) ---------------
+
+WINNOW_K = 8        # chars per k-gram
+WINNOW_W = 6        # guarantee window: every W consecutive k-grams yield >=1
+POS_BITS = 2 ** 20  # position packing (norms are < 1M chars by construction)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowed k-gram fingerprints (Schleimer et al.,
+    the MOSS algorithm): hash every char k-gram of the normalized text, then
+    keep the minimum of each sliding window of w positions — any match of
+    length >= w+k-1 between two documents shares at least one selected
+    fingerprint (the winnowing guarantee).
+
+    Spark-first shape: positions via sequence+explode, the per-window
+    arg-min via ONE window function over a packed (hash, pos) bigint
+    (min of h*2^20+pos = leftmost smallest hash — deterministic, and plain
+    min() replays identically in any SQL engine), then distinct. All
+    whole-stage codegen; one shuffle on doc_id."""
+    d = docs.withColumn("norm", normalized(text_col))
+    n = F.length("norm")
+    g = d.filter(n >= k).select(
+        id_col,
+        "norm",
+        F.explode(F.sequence(F.lit(1), n - k + 1)).alias("i"),
+    )
+    h = F.conv(F.substring(F.md5(F.substring("norm", F.col("i"), k)), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+    g = g.select(id_col, "i", (h * POS_BITS + F.col("i")).alias("packed"))
+    win = (
+        W.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(0, w - 1)
+    )
+    # every position starts a window (trailing windows under-fill — the
+    # fingerprint set is a superset of strict winnowing, same guarantee);
+    # the SQL twin replays the identical windows
+    sel = g.withColumn("sel", F.min("packed").over(win))
+    picked = sel.select(id_col, F.col("sel").alias("packed")).distinct()
+    return picked.select(
+        id_col,
+        F.pmod("packed", F.lit(POS_BITS)).cast("int").alias("pos"),
+        F.floor(F.col("packed") / POS_BITS).alias("fp"),
     )

@@ -1292,6 +1292,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE (d.lang || '_' || d.source) IN
                   (SELECT ent_id FROM cat WHERE n_docs >= 3)
         """,
+        "text_winnow_fingerprints": f"WITH {_BASE} "
+        + """,
+            grams AS (
+              SELECT doc_id, unnest(generate_series(1, length(norm) - 7))::INT AS i, norm
+              FROM recs WHERE length(norm) >= 8
+            ),
+            packed AS (
+              SELECT doc_id, i,
+                     (('0x' || substr(md5(substr(norm, i, 8)), 1, 10))::BIGINT
+                        * 1048576 + i) AS p
+              FROM grams
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id,
+                     min(p) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS p
+              FROM packed
+            )
+            SELECT doc_id, (p % 1048576)::BIGINT AS pos, (p // 1048576)::BIGINT AS fp
+            FROM sel
+        """,
+        "dedup_winnow_pairs": f"WITH {_BASE} "
+        + """,
+            grams AS (
+              SELECT doc_id, unnest(generate_series(1, length(norm) - 7))::INT AS i, norm
+              FROM recs WHERE length(norm) >= 8
+            ),
+            packed AS (
+              SELECT doc_id, i,
+                     (('0x' || substr(md5(substr(norm, i, 8)), 1, 10))::BIGINT
+                        * 1048576 + i) AS p
+              FROM grams
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id,
+                     min(p) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS p
+              FROM packed
+            ),
+            fps AS (SELECT DISTINCT doc_id, (p // 1048576)::BIGINT AS fp FROM sel)
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS n_shared
+            FROM fps a JOIN fps b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 20
+        """,
         "catalogue_multilang_entity": f"WITH {_BASE} "
         + """,
             counts AS (

@@ -1084,6 +1084,37 @@ def catalogue_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return membership_semi_join(mentions, cat).select("doc_id", "ent_id")
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS, Schleimer et
+    al.): k-gram rolling hashes -> per-window minima. Any shared substring of
+    length >= w+k-1 between two documents shares a selected fingerprint."""
+    out = textops.winnow_fingerprints(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp").cast("bigint").alias("fp"),
+    )
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: document pairs sharing >= 20 winnowed
+    fingerprint values — an equi-join on fp (bounded by the fingerprint
+    density ~2/(w+1) per char), never an all-pairs comparison."""
+    fps = textops.winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "fp"
+    ).distinct()
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
+        .select("id1", "id2", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
 def catalogue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: dimension catalogue with dense stable index (row_number - 1)."""
     langs = _docs(spark, sf_dir).select("lang").distinct()
