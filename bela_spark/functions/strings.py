@@ -153,11 +153,30 @@ def jaro_winkler_batch(
     return jaro + cp * p * (1.0 - jaro)
 
 
-@pandas_udf(DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched, numpy-vectorized BOUNDED-PREFIX Jaro-Winkler (first
-    JW_MAX_CHARS chars) — whole-batch matrix kernels, no per-row Python
-    inside the batch."""
-    return pd.Series(
-        jaro_winkler_batch(a.fillna("").to_numpy(dtype=object), b.fillna("").to_numpy(dtype=object))
-    )
+def make_jaro_winkler_udf(max_chars: int = JW_MAX_CHARS):
+    """Factory for an Arrow-batched, numpy-vectorized BOUNDED-PREFIX
+    Jaro-Winkler pandas UDF: inputs are truncated to `max_chars` before
+    scoring, so values for longer strings differ from full-string JW.
+
+    The bound is deliberate in the scoring path (O(L^2) cost cap matched to
+    lev_max_chars), but it is a SEMANTIC choice, not an implementation
+    detail — callers that need full-string JW must pass an explicit
+    max_chars covering their longest input rather than relying on the
+    default."""
+
+    @pandas_udf(DoubleType())
+    def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            jaro_winkler_batch(
+                a.fillna("").to_numpy(dtype=object),
+                b.fillna("").to_numpy(dtype=object),
+                max_chars=max_chars,
+            )
+        )
+
+    return _jw_udf
+
+
+# Default bounded-prefix instance (first JW_MAX_CHARS=64 chars — see
+# make_jaro_winkler_udf for the semantics of the bound).
+jaro_winkler_udf = make_jaro_winkler_udf()

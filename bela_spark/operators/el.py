@@ -60,15 +60,19 @@ def merge_overlapping_spans(
 ) -> DataFrame:
     """W3 analogue (merge_predictions, bela/utils/prediction_utils.py:75-132):
     sweep spans by offset; overlapping runs collapse to the member with the
-    highest score (ties -> smallest offset, then longest).
+    highest score (ties -> smallest offset, then SHORTEST — first-seen).
 
     Exact reference chaining: merge_predictions updates current_end to EACH
     incoming span's end even when that span loses the score comparison
     (prediction_utils.py:119 runs unconditionally), so a run breaks when a
     span starts at/after the end of the span immediately before it in sweep
-    order — lag(end), not a running max. Requires (doc_id, offset, length,
-    score)."""
-    w_order = W.partitionBy(id_col).orderBy("offset", F.desc("length"))
+    order — lag(end), not a running max. The sweep order is the reference's
+    `sorted()` order, ascending (offset, length) (prediction_utils.py:69),
+    and the replacement test is STRICTLY greater (prediction_utils.py:97),
+    so on score ties the first-seen span in that order wins — tie-break
+    (offset ASC, length ASC), not longest-first. Requires (doc_id, offset,
+    length, score)."""
+    w_order = W.partitionBy(id_col).orderBy("offset", "length")
     with_gap = spans.withColumn(
         "prev_end", F.lag(F.col("offset") + F.col("length")).over(w_order)
     ).withColumn(
@@ -82,7 +86,7 @@ def merge_overlapping_spans(
         F.sum("is_new_session").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
     )
     w_pick = W.partitionBy(id_col, "session").orderBy(
-        F.desc("score"), F.asc("offset"), F.desc("length")
+        F.desc("score"), F.asc("offset"), F.asc("length")
     )
     best = with_session.withColumn("_rn", F.row_number().over(w_pick)).filter(
         F.col("_rn") == 1

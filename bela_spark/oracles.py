@@ -784,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             w1 AS (
               SELECT *, lag("offset" + length) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC) AS prev_end
               FROM spans
             ),
             w2 AS (
@@ -793,14 +793,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             w3 AS (
               SELECT *, sum(is_new) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
               FROM w2
             ),
             w4 AS (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id, session
-                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+                ORDER BY score DESC, "offset" ASC, length ASC) AS rn
               FROM w3
             )
             SELECT doc_id, "offset"::BIGINT AS offset, length::BIGINT AS length,
@@ -901,7 +901,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             w1 AS (
               SELECT *, lag("offset" + length) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC) AS prev_end
               FROM pruned
             ),
             w2 AS (
@@ -910,14 +910,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             w3 AS (
               SELECT *, sum(is_new) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
               FROM w2
             ),
             w4 AS (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id, session
-                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+                ORDER BY score DESC, "offset" ASC, length ASC) AS rn
               FROM w3
             ),
             pred AS (
@@ -1054,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             w1 AS (
               SELECT *, lag("offset" + length) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC) AS prev_end
               FROM prunedw
             ),
             w2 AS (
@@ -1063,14 +1063,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             w3 AS (
               SELECT *, sum(is_new) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
               FROM w2
             ),
             w4 AS (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id, session
-                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+                ORDER BY score DESC, "offset" ASC, length ASC) AS rn
               FROM w3
             ),
             pred AS (
@@ -1086,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             w1 AS (
               SELECT *, lag("offset" + length) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC) AS prev_end
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC) AS prev_end
               FROM gated
             ),
             w2 AS (
@@ -1095,14 +1095,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             w3 AS (
               SELECT *, sum(is_new) OVER (
-                PARTITION BY doc_id ORDER BY "offset" ASC, length DESC
+                PARTITION BY doc_id ORDER BY "offset" ASC, length ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
               FROM w2
             ),
             w4 AS (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id, session
-                ORDER BY score DESC, "offset" ASC, length DESC) AS rn
+                ORDER BY score DESC, "offset" ASC, length ASC) AS rn
               FROM w3
             ),
             merged AS (

@@ -63,6 +63,30 @@ def test_merge_chained_overlap_reference_parity(spark):
     assert out == {(1, 0.9), (9, 0.5)}
 
 
+def test_merge_equal_offset_and_tie_reference_parity(spark):
+    """Reference sweep order is ascending (offset, length) — sorted() at
+    prediction_utils.py:69 — and replacement is STRICTLY greater
+    (prediction_utils.py:97). Two pinned consequences:
+
+    1. (0,5),(0,2),(3,4): sweep (0,2)->(0,5)->(3,4) chains end 2->5->7, ONE
+       merged run (a length-DESC sweep would break after (0,2) and emit two).
+    2. score tie on overlapping (0,2) vs (0,5): strict > keeps first-seen,
+       i.e. the SHORTEST at equal offset, not the longest."""
+    spans = spark.createDataFrame(
+        [("d", 0, 5, 0.4), ("d", 0, 2, 0.1), ("d", 3, 4, 0.2)],
+        ["doc_id", "offset", "length", "score"],
+    )
+    out = {(r["offset"], r["length"], r["score"]) for r in merge_overlapping_spans(spans).collect()}
+    assert out == {(0, 5, 0.4)}
+
+    tie = spark.createDataFrame(
+        [("d", 0, 5, 0.5), ("d", 0, 2, 0.5)],
+        ["doc_id", "offset", "length", "score"],
+    )
+    out = {(r["offset"], r["length"]) for r in merge_overlapping_spans(tie).collect()}
+    assert out == {(0, 2)}
+
+
 def test_span_match_strong_semantics(spark):
     pred = spark.createDataFrame(
         [("d", 0, 3, "E1"), ("d", 10, 3, "E2"), ("d", 20, 3, "E9")],
