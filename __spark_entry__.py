@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup extensions
         "dedup_simhash": _q.dedup_simhash,
         "dedup_simhash_pairs": _q.dedup_simhash_pairs,
+        "dedup_simhash_drops": _q.dedup_simhash_drops,
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         # ANN / retrieval

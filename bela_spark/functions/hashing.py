@@ -94,33 +94,44 @@ def band_keys(
     )
 
 
-def simhash32(tokens_col: Column | str) -> Column:
-    """32-bit SimHash of a token array, as a BIGINT (0..2^32-1).
+# hex digits whose nibble has bit 3 set (value 8) / bit 2 set (value 4):
+# two independent hash bits per md5 nibble, 64 available over 32 hex chars.
+_NIBBLE_HIGH = list("89abcdef")
+_NIBBLE_BIT2 = list("4567cdef")
 
-    Bit b of the fingerprint is the majority vote over tokens of the high bit
-    of nibble b of md5(token) (i.e. hex char b is in [89abcdef]). Each bit is
-    an independent hash bit, so this is a standard SimHash; the nibble-char
-    formulation keeps the arithmetic pure string ops — JVM-side higher-order
-    functions here, and the identical expression in the SQL oracle.
+
+def simhash_fp(tokens_col: Column | str, bits: int = 63) -> Column:
+    """SimHash of a token array as a non-negative BIGINT of `bits` bits.
+
+    Bit b of the fingerprint is the majority vote over tokens of one hash
+    bit of md5(token): nibble (b mod 32)'s HIGH bit for b < 32 and its
+    BIT-2 for b >= 32 — 64 independent bits available from one md5; 63 are
+    used by default so the fingerprint stays a non-negative signed BIGINT
+    (r2 shipped 32 bits, whose 7 hamming<=6 blocks were only 4-5 bits wide
+    => ~16-32 buckets per block => a near-quadratic blocked join; 63 bits
+    give 9-bit blocks = 512 buckets each). The nibble-char formulation keeps
+    the arithmetic pure string ops — JVM-side higher-order functions here,
+    and the identical expression in the SQL oracle.
     """
+    assert 1 <= bits <= 63
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     hashes = F.transform(t, F.md5)
-    # vote for bit b: +1 if hex char b of md5(token) >= '8', else -1
+
+    def vote(h: Column, b: Column) -> Column:
+        ch = h.substr(F.when(b < 32, b + 1).otherwise(b - 31), F.lit(1))
+        hit = F.when(b < 32, ch.isin(_NIBBLE_HIGH)).otherwise(ch.isin(_NIBBLE_BIT2))
+        return F.when(hit, 1).otherwise(-1)
+
     bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.substr(b + 1, F.lit(1)).isin(list("89abcdef")), 1).otherwise(-1),
-        ),
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(hashes, F.lit(0), lambda acc, h: acc + vote(h, b)),
     )
     return F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(31)),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
             # F.shiftleft needs a Python-int bit count; pow(2, b) is exact for
-            # b <= 31 in doubles and accepts a Column exponent
+            # b <= 62 in doubles and accepts a Column exponent
             lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("bigint")).otherwise(
                 F.lit(0).cast("bigint")
             ),
@@ -128,6 +139,11 @@ def simhash32(tokens_col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash32(tokens_col: Column | str) -> Column:
+    """32-bit SimHash (bits 0..31 of simhash_fp — identical vote bits)."""
+    return simhash_fp(tokens_col, bits=32)
 
 
 def hamming32(a: Column | str, b: Column | str) -> Column:

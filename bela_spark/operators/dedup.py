@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from bela_spark.config import LinkageConfig
-from bela_spark.functions.hashing import band_keys, hamming32, minhash_wide, simhash32
+from bela_spark.functions.hashing import (
+    band_keys,
+    hamming32,
+    minhash_wide,
+    simhash_fp,
+)
 from bela_spark.functions.text import shingles_of
 from bela_spark.functions.vectors import cosine_sim
 
@@ -47,9 +52,11 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(records: DataFrame, id_col: str = "rid") -> DataFrame:
-    """(id, simhash) 32-bit fingerprints, JVM-side."""
-    return records.select(id_col, simhash32("tokens").alias("simhash"))
+def simhash_fingerprints(
+    records: DataFrame, id_col: str = "rid", bits: int = 63
+) -> DataFrame:
+    """(id, simhash) fingerprints (63-bit by default), JVM-side."""
+    return records.select(id_col, simhash_fp("tokens", bits).alias("simhash"))
 
 
 def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
@@ -68,15 +75,11 @@ def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "rid", bits: int = 32
+def _simhash_block_keys(
+    fingerprints: DataFrame, max_hamming: int, id_col: str, bits: int
 ) -> DataFrame:
-    """Near-dup pairs with hamming <= max_hamming, blocked on max_hamming+1
-    bit-blocks (see simhash_blocks) — each block is an equi-join key, so the
-    all-pairs comparison never materializes AND the claimed hamming bound is
-    actually complete (r1 shipped 2 blocks, which pigeonhole only guarantees
-    for hamming <= 1)."""
-    f = fingerprints
+    """(id, simhash, hkey): one row per (record, bit-block) — the exploded
+    equi-join key space of the pigeonhole blocking."""
     keys = [
         F.concat(
             F.lit(f"b{i}:"),
@@ -84,7 +87,38 @@ def simhash_near_pairs(
         )
         for i, s, m in simhash_blocks(bits, max_hamming)
     ]
-    halves = f.select(id_col, "simhash", F.explode(F.array(*keys)).alias("hkey"))
+    return fingerprints.select(
+        id_col, "simhash", F.explode(F.array(*keys)).alias("hkey")
+    )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "rid",
+    bits: int = 63,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming <= max_hamming, blocked on max_hamming+1
+    bit-blocks (see simhash_blocks) — each block is an equi-join key, so the
+    all-pairs comparison never materializes AND the claimed hamming bound is
+    actually complete (r1 shipped 2 blocks, which pigeonhole only guarantees
+    for hamming <= 1).
+
+    block_cap bounds the fan-out of hot block keys: within each hkey only the
+    `block_cap` lowest ids survive (deterministic, lowest-ids-win — same rule
+    as pairs.cap_keys), so one key emits at most C(cap,2) join rows. Capped
+    blocking is no longer pigeonhole-complete for members beyond the cap —
+    use simhash_block_drops for the never-silent truncation log. None = no
+    cap (completeness holds; small inputs / the pytest oracle only)."""
+    halves = _simhash_block_keys(fingerprints, max_hamming, id_col, bits)
+    if block_cap is not None:
+        w = W.partitionBy("hkey").orderBy(id_col)
+        halves = (
+            halves.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
     a, b = halves.alias("a"), halves.alias("b")
     return (
         a.join(b, "hkey")
@@ -96,6 +130,29 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_block_drops(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "rid",
+    bits: int = 63,
+    block_cap: int = 64,
+) -> DataFrame:
+    """(key, n_ids, n_dropped): every simhash block key the cap truncates —
+    the drop log that keeps simhash_near_pairs' block_cap never-silent
+    (mirrors pairs.cap_keys)."""
+    halves = _simhash_block_keys(fingerprints, max_hamming, id_col, bits)
+    w = W.partitionBy("hkey").orderBy(id_col)
+    wf = W.partitionBy("hkey").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = halves.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_kn", F.count("*").over(wf)
+    )
+    return ranked.filter((F.col("_rn") == 1) & (F.col("_kn") > block_cap)).select(
+        F.col("hkey").alias("key"),
+        F.col("_kn").alias("n_ids"),
+        (F.col("_kn") - block_cap).alias("n_dropped"),
     )
 
 

@@ -22,6 +22,18 @@ ANN_IVF = dict(n_cells=16, n_probes=2, dim=64, seed=42, cell_cap=64)
 # the Spark query and this SQL twin.
 LSH_DROPS_CAP = 4
 
+# SimHash near-dup blocking (shared by queries.dedup_simhash* and the SQL
+# twins): 63-bit fingerprints => the 7 pigeonhole blocks for hamming<=6 are
+# 9 bits wide (512 buckets each), and hot block keys are capped at
+# SIMHASH_BLOCK_CAP ids (lowest-ids-win) with a drop-log companion query —
+# the r2 32-bit variant's 4-5-bit blocks made the blocked join ~7N^2/32.
+# SIMHASH_DROPS_CAP is the audit cap for dedup_simhash_drops, below the
+# served cap for the same reason as LSH_DROPS_CAP (fixture-visible rows).
+SIMHASH_BITS = 63
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_BLOCK_CAP = 64
+SIMHASH_DROPS_CAP = 4
+
 
 def _ivf_cells_sql(
     n_cells: int,
@@ -141,6 +153,31 @@ toks AS (
   FROM recs
 )
 """
+
+# 63-bit SimHash fingerprint CTE (mirrors functions.hashing.simhash_fp):
+# bit b votes on md5(token) nibble (b mod 32) — its HIGH bit for b < 32, its
+# BIT-2 for b >= 32. Chains after _BASE (needs `toks`).
+_SIMHASH_FP = (
+    """
+votes AS (
+  SELECT u.doc_id, g.b AS b,
+    sum(CASE WHEN (CASE WHEN g.b < 32
+          THEN substr(md5(u.tok), (g.b + 1)::INT, 1)
+               IN ('8','9','a','b','c','d','e','f')
+          ELSE substr(md5(u.tok), (g.b - 31)::INT, 1)
+               IN ('4','5','6','7','c','d','e','f') END)
+        THEN 1 ELSE -1 END) AS v
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u,
+       generate_series(0, {last_bit}) g(b)
+  GROUP BY u.doc_id, g.b
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+""".format(last_bit=SIMHASH_BITS - 1)
+)
 
 _SHINGLES = _BASE + """,
 shingle_idx AS (
@@ -461,55 +498,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t1.t, t2.t
         """,
         # --- dedup extensions ----------------------------------------------
-        "dedup_simhash": f"WITH {_BASE} "
-        + """,
-            votes AS (
-              SELECT u.doc_id, g.b AS b,
-                sum(CASE WHEN substr(md5(u.tok), (g.b + 1)::INT, 1)
-                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
-              FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u,
-                   generate_series(0, 31) g(b)
-              GROUP BY u.doc_id, g.b
-            ),
-            fp AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
-              FROM votes GROUP BY doc_id
-            )
+        "dedup_simhash": f"WITH {_BASE}, {_SIMHASH_FP} "
+        + """
             SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
             FROM documents d LEFT JOIN fp USING (doc_id)
         """,
-        "dedup_simhash_pairs": f"WITH {_BASE} "
+        "dedup_simhash_pairs": f"WITH {_BASE}, {_SIMHASH_FP} "
         + """,
-            votes AS (
-              SELECT u.doc_id, g.b AS b,
-                sum(CASE WHEN substr(md5(u.tok), (g.b + 1)::INT, 1)
-                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
-              FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u,
-                   generate_series(0, 31) g(b)
-              GROUP BY u.doc_id, g.b
-            ),
-            fp0 AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
-              FROM votes GROUP BY doc_id
-            ),
-            fp AS (
-              SELECT d.doc_id, coalesce(fp0.simhash, 0)::BIGINT AS simhash
-              FROM documents d LEFT JOIN fp0 USING (doc_id)
+            fpd AS (
+              SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+              FROM documents d LEFT JOIN fp USING (doc_id)
             ),
             bdef(i, s, m) AS ({simhash_block_values}),
             halves AS (
               SELECT doc_id, simhash,
                      'b' || i::VARCHAR || ':' || ((simhash >> s) & m)::VARCHAR AS hkey
-              FROM fp, bdef
+              FROM fpd, bdef
+            ),
+            capped AS (
+              SELECT doc_id, simhash, hkey FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY hkey ORDER BY doc_id) AS rn
+                FROM halves) WHERE rn <= {block_cap}
             )
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-            FROM halves a JOIN halves b USING (hkey)
+            FROM capped a JOIN capped b USING (hkey)
             WHERE a.doc_id < b.doc_id
-              AND bit_count(xor(a.simhash, b.simhash)) <= 6
-        """.format(simhash_block_values=_simhash_block_values(32, 6)),
+              AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """.format(
+            simhash_block_values=_simhash_block_values(SIMHASH_BITS, SIMHASH_MAX_HAMMING),
+            block_cap=SIMHASH_BLOCK_CAP,
+            max_hamming=SIMHASH_MAX_HAMMING,
+        ),
+        "dedup_simhash_drops": f"WITH {_BASE}, {_SIMHASH_FP} "
+        + """,
+            fpd AS (
+              SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+              FROM documents d LEFT JOIN fp USING (doc_id)
+            ),
+            bdef(i, s, m) AS ({simhash_block_values}),
+            halves AS (
+              SELECT doc_id,
+                     'b' || i::VARCHAR || ':' || ((simhash >> s) & m)::VARCHAR AS hkey
+              FROM fpd, bdef
+            ),
+            g AS (SELECT hkey, count(*) AS n FROM halves GROUP BY hkey),
+            caps(cap) AS (VALUES ({served_cap}), ({audit_cap}))
+            SELECT caps.cap::BIGINT AS cap, g.hkey AS key, g.n::BIGINT AS n_ids,
+                   (g.n - caps.cap)::BIGINT AS n_dropped
+            FROM g, caps WHERE g.n > caps.cap
+        """.format(
+            simhash_block_values=_simhash_block_values(SIMHASH_BITS, SIMHASH_MAX_HAMMING),
+            served_cap=SIMHASH_BLOCK_CAP,
+            audit_cap=SIMHASH_DROPS_CAP,
+        ),
         "dedup_ngram_jaccard": f"WITH {_PAIRS} "
         + """,
             dsh AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from bela_spark.config import LinkageConfig
-from bela_spark.functions.hashing import band_keys, minhash_signatures, minhash_wide, simhash32
+from bela_spark.functions.hashing import band_keys, minhash_signatures, minhash_wide, simhash_fp
 from bela_spark.functions.text import LANGID_STOPWORDS, normalized, shingles_of, tokens_of
 from bela_spark.functions.vectors import dot_product, embed_text
 from bela_spark.operators import el as el_ops
@@ -33,7 +33,7 @@ from bela_spark.operators.ann import (
     recall_at_k,
 )
 from bela_spark.operators.cc import connected_components
-from bela_spark.operators.dedup import simhash_near_pairs
+from bela_spark.operators.dedup import simhash_block_drops, simhash_near_pairs
 from bela_spark.operators.multimodal import extract_features, synth_media
 
 CFG = LinkageConfig()
@@ -276,16 +276,49 @@ def er_threshold_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (JVM higher-order functions)."""
+    """63-bit SimHash fingerprints (JVM higher-order functions)."""
     r = _records(spark, sf_dir)
-    return r.select("doc_id", simhash32("tokens").alias("simhash"))
+    return r.select("doc_id", simhash_fp("tokens", SIMHASH_BITS).alias("simhash"))
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 6), blocked on 16-bit halves."""
+    """SimHash near-dup pairs (hamming <= 6), blocked on the 7 pigeonhole
+    9-bit blocks of the 63-bit fingerprint, hot block keys capped at
+    SIMHASH_BLOCK_CAP (lowest-ids-win; dedup_simhash_drops logs what the cap
+    cut). The r2 32-bit variant's blocks were 4-5 bits => a ~7N^2/32 blocked
+    join at scale."""
     fp = dedup_simhash(spark, sf_dir)
-    return simhash_near_pairs(fp, max_hamming=6, id_col="doc_id").select(
-        "id1", "id2", F.col("hamming").cast("bigint").alias("hamming")
+    return simhash_near_pairs(
+        fp,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        id_col="doc_id",
+        bits=SIMHASH_BITS,
+        block_cap=SIMHASH_BLOCK_CAP,
+    ).select("id1", "id2", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def dedup_simhash_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-silent-truncation log for the simhash block cap, at BOTH the
+    served cap (what dedup_simhash_pairs actually drops) and a small audit
+    cap (so the mechanism emits fixture-visible rows); the `cap` column says
+    which regime each row audits."""
+    fp = dedup_simhash(spark, sf_dir)
+    outs = []
+    for cap in (SIMHASH_BLOCK_CAP, SIMHASH_DROPS_CAP):
+        d = simhash_block_drops(
+            fp,
+            max_hamming=SIMHASH_MAX_HAMMING,
+            id_col="doc_id",
+            bits=SIMHASH_BITS,
+            block_cap=cap,
+        )
+        outs.append(d.select(F.lit(cap).cast("bigint").alias("cap"), "key", "n_ids", "n_dropped"))
+    out = outs[0].unionByName(outs[1])
+    return out.select(
+        "cap",
+        "key",
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
 
 
@@ -313,7 +346,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # LSH blocking configuration shared verbatim with the DuckDB oracles (the
 # plane constants are emitted as SQL literals by oracles._lsh_keys_sql).
-from bela_spark.oracles import ANN_IVF, ANN_LSH, NEARDUP_LSH
+from bela_spark.oracles import (
+    ANN_IVF,
+    ANN_LSH,
+    NEARDUP_LSH,
+    SIMHASH_BITS,
+    SIMHASH_BLOCK_CAP,
+    SIMHASH_DROPS_CAP,
+    SIMHASH_MAX_HAMMING,
+)
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,7 +52,7 @@ def test_simhash_hamming_small_for_near_dups(spark):
     vals = {r["rid"]: r["simhash"] for r in fp.collect()}
     ham = lambda x, y: bin(x ^ y).count("1")
     assert ham(vals["a"], vals["b"]) < ham(vals["a"], vals["c"])
-    assert 0 <= vals["a"] < 2**32
+    assert 0 <= vals["a"] < 2**63
 
 
 def test_simhash_near_pairs_blocked_join(spark):
@@ -83,7 +83,7 @@ def test_simhash_near_pairs_complete_vs_brute_force(spark):
     for max_h in (3, 6):
         blocked = {
             (r["id1"], r["id2"], r["hamming"])
-            for r in simhash_near_pairs(fp, max_hamming=max_h).collect()
+            for r in simhash_near_pairs(fp, max_hamming=max_h, bits=32).collect()
         }
         ham = lambda x, y: bin(x ^ y).count("1")
         ids = [f"r{i:03d}" for i in range(len(vals))]
@@ -94,6 +94,58 @@ def test_simhash_near_pairs_complete_vs_brute_force(spark):
             if ham(vals[i], vals[j]) <= max_h
         }
         assert blocked == brute, f"max_hamming={max_h}: {brute - blocked}"
+
+
+def test_simhash_near_pairs_complete_63bit(spark):
+    """Same pigeonhole-completeness property at the served width (63 bits,
+    7 nine-bit blocks): planted flips at hamming 1..8 are fully recovered for
+    max_hamming 6, and nothing beyond the bound leaks in."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.getrandbits(63) for _ in range(30)]
+    for d in range(1, 9):
+        base = rng.getrandbits(63)
+        flipped = base
+        for bit in rng.sample(range(63), d):
+            flipped ^= 1 << bit
+        vals += [base, flipped]
+    fp = spark.createDataFrame(
+        [(f"r{i:03d}", v) for i, v in enumerate(vals)], "rid string, simhash long"
+    )
+    blocked = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in simhash_near_pairs(fp, max_hamming=6, bits=63).collect()
+    }
+    ham = lambda x, y: bin(x ^ y).count("1")
+    ids = [f"r{i:03d}" for i in range(len(vals))]
+    brute = {
+        (ids[i], ids[j], ham(vals[i], vals[j]))
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if ham(vals[i], vals[j]) <= 6
+    }
+    assert blocked == brute
+
+
+def test_simhash_block_cap_and_drop_log(spark):
+    """block_cap keeps the lowest `cap` ids per block key and the drop log
+    reports exactly what was cut — never silent. 5 identical fingerprints
+    with cap 3 => pairs only among the 3 lowest ids, and each of the 7 block
+    keys logs n_ids=5, n_dropped=2."""
+    from bela_spark.operators.dedup import simhash_block_drops
+
+    fp = spark.createDataFrame(
+        [(f"r{i}", 12345) for i in range(5)], "rid string, simhash long"
+    )
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in simhash_near_pairs(fp, max_hamming=6, bits=63, block_cap=3).collect()
+    }
+    assert pairs == {("r0", "r1"), ("r0", "r2"), ("r1", "r2")}
+    drops = simhash_block_drops(fp, max_hamming=6, bits=63, block_cap=3).collect()
+    assert len(drops) == 7
+    assert all(r["n_ids"] == 5 and r["n_dropped"] == 2 for r in drops)
 
 
 def test_ngram_jaccard_exact_value(spark):
