@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q.text_fingerprint,
         "text_winnow_fingerprints": _q.text_winnow_fingerprints,
         "dedup_winnow_pairs": _q.dedup_winnow_pairs,
+        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_index": _q.catalogue_index,
         "catalogue_multilang": _q.catalogue_multilang,

@@ -34,6 +34,10 @@ SIMHASH_MAX_HAMMING = 6
 SIMHASH_BLOCK_CAP = 64
 SIMHASH_DROPS_CAP = 4
 
+# MOSS over-common-fingerprint discard threshold (document frequency) shared
+# by queries.dedup_winnow_pairs / dedup_winnow_fp_drops and their SQL twins.
+WINNOW_MAX_DF = 50
+
 
 def _ivf_cells_sql(
     n_cells: int,
@@ -1357,7 +1361,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
         """,
         "dedup_winnow_pairs": f"WITH {_BASE} "
-        + """,
+        + f""",
             grams AS (
               SELECT doc_id, unnest(generate_series(1, length(norm) - 7))::INT AS i, norm
               FROM recs WHERE length(norm) >= 8
@@ -1374,12 +1378,41 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS p
               FROM packed
             ),
-            fps AS (SELECT DISTINCT doc_id, (p // 1048576)::BIGINT AS fp FROM sel)
+            fps0 AS (SELECT DISTINCT doc_id, (p // 1048576)::BIGINT AS fp FROM sel),
+            dfq AS (SELECT fp, count(*) AS dfreq FROM fps0 GROUP BY fp),
+            fps AS (
+              SELECT f.doc_id, f.fp FROM fps0 f JOIN dfq USING (fp)
+              WHERE dfq.dfreq <= {WINNOW_MAX_DF}
+            )
             SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS n_shared
             FROM fps a JOIN fps b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 20
+        """,
+        "dedup_winnow_fp_drops": f"WITH {_BASE} "
+        + f""",
+            grams AS (
+              SELECT doc_id, unnest(generate_series(1, length(norm) - 7))::INT AS i, norm
+              FROM recs WHERE length(norm) >= 8
+            ),
+            packed AS (
+              SELECT doc_id, i,
+                     (('0x' || substr(md5(substr(norm, i, 8)), 1, 10))::BIGINT
+                        * 1048576 + i) AS p
+              FROM grams
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id,
+                     min(p) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS p
+              FROM packed
+            ),
+            fps0 AS (SELECT DISTINCT doc_id, (p // 1048576)::BIGINT AS fp FROM sel),
+            dfq AS (SELECT fp, count(*) AS n FROM fps0 GROUP BY fp)
+            SELECT fp::BIGINT AS fp, n::BIGINT AS n_docs,
+                   (n * (n - 1) // 2)::BIGINT AS n_pairs_suppressed
+            FROM dfq WHERE n > {WINNOW_MAX_DF}
         """,
         "catalogue_multilang_entity": f"WITH {_BASE} "
         + """,

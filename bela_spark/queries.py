@@ -1137,13 +1137,35 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS-style near-dup candidates: document pairs sharing >= 20 winnowed
-    fingerprint values — an equi-join on fp (bounded by the fingerprint
-    density ~2/(w+1) per char), never an all-pairs comparison."""
+# MOSS discards fingerprints shared by too many documents before pairing
+# (Schleimer et al. §5 exclude "too-common" fingerprints — license headers /
+# boilerplate): a fingerprint in k docs otherwise emits C(k,2) join rows, the
+# exact uncapped-hot-key failure pairs.cap_keys exists for. The threshold
+# lives in oracles.py (shared with the SQL twins);
+# dedup_winnow_fp_drops logs every excluded fingerprint.
+from bela_spark.oracles import WINNOW_MAX_DF
+
+
+def _winnow_fps_with_df(spark, sf_dir) -> DataFrame:
+    """(doc_id, fp, dfreq): distinct per-doc fingerprints annotated with the
+    fingerprint's document frequency (one shuffle on fp)."""
     fps = textops.winnow_fingerprints(_docs(spark, sf_dir)).select(
         "doc_id", "fp"
     ).distinct()
+    wf = W.partitionBy("fp").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return fps.withColumn("dfreq", F.count("*").over(wf))
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: document pairs sharing >= 20 winnowed
+    fingerprint values — an equi-join on fp (bounded by the fingerprint
+    density ~2/(w+1) per char), never an all-pairs comparison. Fingerprints
+    with document frequency > WINNOW_MAX_DF are discarded first (MOSS's
+    over-common-fingerprint rule), so no single fp key can emit a quadratic
+    pair burst; dedup_winnow_fp_drops is the never-silent log."""
+    fps = _winnow_fps_with_df(spark, sf_dir).filter(
+        F.col("dfreq") <= WINNOW_MAX_DF
+    )
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")
     return (
@@ -1153,6 +1175,23 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 20)
         .select("id1", "id2", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
+def dedup_winnow_fp_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fingerprint dedup_winnow_pairs discards as over-common
+    (dfreq > WINNOW_MAX_DF), with its document frequency and the number of
+    candidate pairs the discard suppressed (C(dfreq, 2))."""
+    d = (
+        _winnow_fps_with_df(spark, sf_dir)
+        .filter(F.col("dfreq") > WINNOW_MAX_DF)
+        .groupBy("fp")
+        .agg(F.max("dfreq").alias("n_docs"))
+    )
+    return d.select(
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").alias("n_pairs_suppressed"),
     )
 
 
