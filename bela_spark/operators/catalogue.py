@@ -25,6 +25,54 @@ PAD_WIDTH = 16       # fixed row width (token slots) of the emulated h5 matrix
 MAX_ENTITY_LEN = 8   # blink_transform max_entity_len analogue
 
 
+def dense_index(
+    df: DataFrame,
+    order_col: str,
+    index_col: str = "ent_index",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """+ index_col: dense 0-based rank of `order_col` ascending (keys must be
+    unique), computed WITHOUT a global-order window.
+
+    `Window.orderBy(key)` with no partitionBy moves the whole table to ONE
+    task — fine for a 5-row lang dimension, wrong as the S4 pattern for a
+    catalogue of millions of entities. This is the two-phase scheme Spark's
+    own RDD.zipWithIndex uses: range-partition by the key (global order
+    across partitions), rank locally per partition, then offset each
+    partition by the total count of earlier partitions. The count job
+    collects <= numPartitions rows — the index itself never leaves the
+    executors, and the result is invariant to where the range boundaries
+    land."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = W.partitionBy("_pid").orderBy(order_col)
+    local = part.withColumn("_lrn", F.row_number().over(w_local))
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        off = F.element_at(off_map, F.col("_pid"))
+    else:
+        off = F.lit(0)
+    return local.withColumn(
+        index_col, (off + F.col("_lrn") - 1).cast("bigint")
+    ).drop("_pid", "_lrn")
+
+
 def entity_catalogue(
     docs: DataFrame, title_chars: int = 30, norm_col: str = "norm"
 ) -> DataFrame:
@@ -38,8 +86,7 @@ def entity_catalogue(
     g = g.select(
         F.concat_ws("_", "lang", "source").alias("ent_id"), "title", "n_docs"
     )
-    w = W.orderBy("ent_id")
-    return g.withColumn("ent_index", (F.row_number().over(w) - 1).cast("bigint"))
+    return dense_index(g, "ent_id", "ent_index")
 
 
 def _title_token_ids(title: Column) -> Column:

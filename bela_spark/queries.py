@@ -1196,12 +1196,14 @@ def dedup_winnow_fp_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def catalogue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: dimension catalogue with dense stable index (row_number - 1)."""
+    """S4: dimension catalogue with a dense stable index — two-phase
+    zipWithIndex-style rank (operators.catalogue.dense_index), NOT a
+    global-order row_number window, which would serialize the whole
+    dimension into a single WindowExec task at catalogue scale."""
+    from bela_spark.operators.catalogue import dense_index
+
     langs = _docs(spark, sf_dir).select("lang").distinct()
-    w = W.orderBy("lang")
-    return langs.select(
-        "lang", (F.row_number().over(w) - 1).cast("bigint").alias("ent_index")
-    )
+    return dense_index(langs, "lang", "ent_index").select("lang", "ent_index")
 
 
 # ---------------------------------------------------------------------------

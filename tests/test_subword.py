@@ -115,3 +115,24 @@ def test_catalogue_roundtrip_and_truncation(spark):
     )
     kept = {r["ent_id"] for r in membership_semi_join(mentions, cat).collect()}
     assert kept == {"en_s0", "en_s1"}
+
+
+def test_dense_index_matches_global_rank(spark):
+    """dense_index == (row_number over global order) - 1, without the
+    single-task global window: checked on a 97-key frame at 8 partitions,
+    including empty range partitions and an empty input."""
+    from pyspark.sql import functions as F
+
+    from bela_spark.operators.catalogue import dense_index
+
+    keys = [f"k{i:03d}" for i in range(97)]
+    import random
+
+    random.Random(3).shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "ent_id string")
+    out = dense_index(df, "ent_id", "idx", num_partitions=8).collect()
+    got = {r["ent_id"]: r["idx"] for r in out}
+    assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+    empty = dense_index(df.filter(F.lit(False)), "ent_id", "idx").collect()
+    assert empty == []
