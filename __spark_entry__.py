@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_flagship_clusters": _q.er_flagship_clusters,
         "er_threshold_grid": _q.er_threshold_grid,
         "er_threshold_grid_2d": _q.er_threshold_grid_2d,
+        "er_threshold_best": _q.er_threshold_best,
         # dedup extensions
         "dedup_simhash": _q.dedup_simhash,
         "dedup_simhash_pairs": _q.dedup_simhash_pairs,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_drops": _q.ann_lsh_bucket_drops,
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
+        "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
         "ann_disambiguation_acc": _q.ann_disambiguation_acc,
         # EL query surface
         "el_windows": _q.el_windows,

@@ -137,14 +137,31 @@ def lsh_topk(
     emb_col: str = "embedding",
     bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates from shared LSH buckets, exact rerank."""
-    keys = lsh_bucket_keys(
-        embedded, n_planes, n_tables, dim, seed, id_col, emb_col, bucket_cap
+    """Approximate top-k: candidates from shared LSH buckets, exact rerank.
+
+    bucket_cap is applied to the INDEX (neighbor) side only, mirroring
+    ivf_topk's build-side-only cap: an over-full bucket stops being offered
+    as neighbors beyond the cap, but every vector still queries its full
+    buckets — an evicted vector loses visibility, never its own top-k (the
+    r2 symmetric cap silently degraded evicted vectors' own queries). Each
+    bucket emits at most cap * |bucket| join rows — linear in bucket size,
+    not quadratic."""
+    keys_all = lsh_bucket_keys(
+        embedded, n_planes, n_tables, dim, seed, id_col, emb_col, bucket_cap=None
     )
+    if bucket_cap is not None:
+        w = W.partitionBy("key").orderBy(id_col)
+        keys_idx = (
+            keys_all.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    else:
+        keys_idx = keys_all
     e = embedded.select(F.col(id_col), F.col(emb_col))
     cand = (
-        keys.withColumnRenamed(id_col, "vec_id")
-        .join(keys.withColumnRenamed(id_col, "neighbor_id"), "key")
+        keys_all.withColumnRenamed(id_col, "vec_id")
+        .join(keys_idx.withColumnRenamed(id_col, "neighbor_id"), "key")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
         .distinct()

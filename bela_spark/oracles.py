@@ -491,6 +491,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE score >= t.threshold
             GROUP BY t.threshold
         """,
+        "er_threshold_best": f"WITH {_SCORED} "
+        + """,
+            ents AS (SELECT doc_id, lang || '_' || source AS ent FROM documents),
+            labeled AS (
+              SELECT s.f_lev, s.f_jac,
+                     CASE WHEN e1.ent = e2.ent THEN 1 ELSE 0 END AS label
+              FROM scored2 s
+              JOIN ents e1 ON e1.doc_id = s.id1
+              JOIN ents e2 ON e2.doc_id = s.id2
+            ),
+            cells AS (
+              SELECT t1.t::DOUBLE AS t_lev, t2.t::DOUBLE AS t_jac,
+                sum(CASE WHEN f_lev >= t1.t AND f_jac >= t2.t AND label = 1
+                    THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN f_lev >= t1.t AND f_jac >= t2.t AND label = 0
+                    THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN NOT (f_lev >= t1.t AND f_jac >= t2.t) AND label = 1
+                    THEN 1 ELSE 0 END) AS fn
+              FROM labeled,
+                   (VALUES (0.0), (0.2), (0.4)) t1(t),
+                   (VALUES (0.0), (0.2), (0.4)) t2(t)
+              GROUP BY t1.t, t2.t
+            ),
+            scoredcells AS (
+              SELECT *, CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                        ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1
+              FROM cells
+            )
+            SELECT t_lev, t_jac, tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   fn::BIGINT AS fn, floor(f1 * 1000000) / 1000000 AS f1
+            FROM scoredcells
+            ORDER BY f1 DESC, t_lev ASC, t_jac ASC LIMIT 1
+        """,
         "er_threshold_grid_2d": f"WITH {_SCORED} "
         + """
             SELECT t1.t::DOUBLE AS t_lev, t2.t::DOUBLE AS t_jac,
@@ -604,8 +637,11 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_lsh_keys_sql(**ANN_LSH)},
             cand AS (
+              -- query side bkeys0 (uncapped), index side bkeys (capped):
+              -- the cap bounds who is OFFERED as a neighbor, never a
+              -- vector's own candidate generation (ivf_topk parity)
               SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-              FROM bkeys a JOIN bkeys b USING (key)
+              FROM bkeys0 a JOIN bkeys b USING (key)
               WHERE a.vec_id <> b.vec_id
             ),
             sc AS (
@@ -628,8 +664,11 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_lsh_keys_sql(**ANN_LSH)},
             cand AS (
+              -- query side bkeys0 (uncapped), index side bkeys (capped):
+              -- the cap bounds who is OFFERED as a neighbor, never a
+              -- vector's own candidate generation (ivf_topk parity)
               SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-              FROM bkeys a JOIN bkeys b USING (key)
+              FROM bkeys0 a JOIN bkeys b USING (key)
               WHERE a.vec_id <> b.vec_id
             ),
             sc AS (
@@ -669,10 +708,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket_drops": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_lsh_keys_sql(**dict(ANN_LSH, bucket_cap=10**9))},
-            g AS (SELECT key, count(*) AS n FROM bkeys GROUP BY key)
-            SELECT key, n::BIGINT AS n_ids,
-                   (n - {LSH_DROPS_CAP})::BIGINT AS n_dropped
-            FROM g WHERE n > {LSH_DROPS_CAP}
+            g AS (SELECT key, count(*) AS n FROM bkeys GROUP BY key),
+            caps(cap) AS (VALUES ({ANN_LSH["bucket_cap"]}), ({LSH_DROPS_CAP}))
+            SELECT caps.cap::BIGINT AS cap, g.key AS key, g.n::BIGINT AS n_ids,
+                   (g.n - caps.cap)::BIGINT AS n_dropped
+            FROM g, caps WHERE g.n > caps.cap
         """,
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -697,6 +737,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id,
                    floor(ip * 1000000) / 1000000 AS ip_score, rank::BIGINT AS rank
             FROM iranked WHERE rank <= 5
+        """,
+        "ann_ivf_disambiguation_acc": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_ivf_cells_sql(**ANN_IVF)},
+            cand AS (
+              SELECT DISTINCT p.qvec_id AS vec_id, c.neighbor_id
+              FROM probe_cells p JOIN cat_cells c USING (cell)
+              WHERE p.qvec_id <> c.neighbor_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            top1 AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                FROM sc) WHERE rank = 1
+            ),
+            hits AS (
+              SELECT CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS hit
+              FROM top1 t
+              JOIN embeddings lq ON lq.vec_id = t.vec_id
+              JOIN embeddings ln ON ln.vec_id = t.neighbor_id
+            )
+            SELECT floor(avg(hit) * 1000000) / 1000000 AS accuracy,
+                   count(*)::BIGINT AS n_queries
+            FROM hits
         """,
         "ann_ivf_recall": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -745,17 +816,17 @@ def oracle_sql() -> dict[str, str]:
             hits AS (
               SELECT r.vec_id,
                      max(CASE WHEN r.rank <= 1 AND la.label = lb.label THEN 1 ELSE 0 END) AS h1,
-                     max(CASE WHEN r.rank <= 5 AND la.label = lb.label THEN 1 ELSE 0 END) AS h5,
-                     max(CASE WHEN r.rank <= 10 AND la.label = lb.label THEN 1 ELSE 0 END) AS h10
+                     max(CASE WHEN r.rank <= 10 AND la.label = lb.label THEN 1 ELSE 0 END) AS h10,
+                     max(CASE WHEN r.rank <= 100 AND la.label = lb.label THEN 1 ELSE 0 END) AS h100
               FROM ranked r
               JOIN e la ON la.vec_id = r.vec_id
               JOIN e lb ON lb.vec_id = r.neighbor_id
-              WHERE r.rank <= 10
+              WHERE r.rank <= 100
               GROUP BY r.vec_id
             )
             SELECT floor(avg(h1) * 1000000) / 1000000 AS recall_at_1,
-                   floor(avg(h5) * 1000000) / 1000000 AS recall_at_5,
                    floor(avg(h10) * 1000000) / 1000000 AS recall_at_10,
+                   floor(avg(h100) * 1000000) / 1000000 AS recall_at_100,
                    count(*)::BIGINT AS n_queries
             FROM hits
         """,

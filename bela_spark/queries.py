@@ -271,6 +271,55 @@ def er_threshold_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_threshold_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 argmax (grid_search_thresholds.py:30-36: the reference SELECTS the
+    best cell, sorting the grid by F1 descending — the grid counts alone are
+    not the operator). Gold labels: a candidate pair is positive iff both
+    docs share (lang, source) — the documents table's entity key. One scored
+    pass, broadcast 3x3 gate grid, per-cell tp/fp/fn via conditional
+    aggregation, argmax row by (f1 DESC, t_lev ASC, t_jac ASC)."""
+    scored = _scored_pairs(spark, sf_dir).select("id1", "id2", "f_lev", "f_jac")
+    ent = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("_", "lang", "source").alias("ent")
+    )
+    labeled = (
+        scored.join(ent.select(F.col("doc_id").alias("id1"), F.col("ent").alias("e1")), "id1")
+        .join(ent.select(F.col("doc_id").alias("id2"), F.col("ent").alias("e2")), "id2")
+        .withColumn("label", (F.col("e1") == F.col("e2")).cast("int"))
+    )
+    axis = [(t,) for t in (0.0, 0.2, 0.4)]
+    grid = F.broadcast(
+        spark.createDataFrame(axis, "t_lev double").crossJoin(
+            spark.createDataFrame(axis, "t_jac double")
+        )
+    )
+    ok = (F.col("f_lev") >= F.col("t_lev")) & (F.col("f_jac") >= F.col("t_jac"))
+    cells = (
+        labeled.crossJoin(grid)
+        .groupBy("t_lev", "t_jac")
+        .agg(
+            F.sum(F.when(ok & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(ok & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~ok & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+        )
+        .withColumn(
+            "f1",
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ),
+        )
+    )
+    best = cells.orderBy(F.desc("f1"), F.asc("t_lev"), F.asc("t_jac")).limit(1)
+    return best.select(
+        "t_lev",
+        "t_jac",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        f6("f1").alias("f1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family extensions
 # ---------------------------------------------------------------------------
@@ -360,7 +409,13 @@ from bela_spark.oracles import (
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups, LSH-blocked (no all-pairs product anywhere:
     candidates come from capped hyperplane buckets, exact cosine verifies).
-    The oracle replays the identical plane constants and bucket cap."""
+    The oracle replays the identical plane constants and bucket cap.
+
+    Unlike ann_lsh_topk (whose cap is index-side only — a query must never
+    lose its own candidates), pair GENERATION caps both sides symmetrically:
+    an id evicted from an over-full bucket is evicted from that bucket's
+    pair space entirely, which is the deterministic bounded-fan-out contract
+    of pairs.cap_keys; ann_lsh_bucket_drops logs the truncation."""
     from bela_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -388,14 +443,16 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{1,5,10}: same-label neighbor retrieved within k."""
+    """Recall@{1,10,100}: same-label neighbor retrieved within k — the
+    reference's evaluation ks (joint_el_task.py:467), not fixture-scaled
+    ones, so the at-scale k=100 shape is exercised."""
     e = _emb(spark, sf_dir)
-    topk = brute_force_topk(e, e, k=10)
-    out = recall_at_k(topk, e.select("vec_id", "label"), ks=(1, 5, 10))
+    topk = brute_force_topk(e, e, k=100)
+    out = recall_at_k(topk, e.select("vec_id", "label"), ks=(1, 10, 100))
     return out.select(
         f6("recall_at_1").alias("recall_at_1"),
-        f6("recall_at_5").alias("recall_at_5"),
         f6("recall_at_10").alias("recall_at_10"),
+        f6("recall_at_100").alias("recall_at_100"),
         F.col("n_queries").cast("bigint").alias("n_queries"),
     )
 
@@ -539,19 +596,28 @@ def el_boe_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-silent-truncation surface for the ANN scale path: every LSH
-    bucket the cap would truncate, with its drop count. Audited at
-    LSH_DROPS_CAP (shared with the SQL twin) — deliberately below the served
-    cap of 64, which no fixture bucket reaches; at scale wire this to the
-    production cap."""
+    """Never-silent-truncation surface for the ANN scale path, audited at
+    BOTH the served cap (ANN_LSH bucket_cap — what ann_lsh_topk /
+    dedup_embedding_neardup actually drop; may emit zero rows at fixture
+    scale, and that zero is itself the signal) and a small audit cap
+    (fixture-visible rows proving the mechanism). The `cap` column says
+    which regime each row audits — the r2 version logged only the audit cap,
+    so the log did not describe what the served queries drop."""
     from bela_spark.operators.ann import lsh_bucket_drops
     from bela_spark.oracles import LSH_DROPS_CAP
 
     e = _emb(spark, sf_dir)
     cfg = {**ANN_LSH}
-    cfg.pop("bucket_cap")
-    out = lsh_bucket_drops(e, bucket_cap=LSH_DROPS_CAP, **cfg)
+    served_cap = cfg.pop("bucket_cap")
+    outs = []
+    for cap in (served_cap, LSH_DROPS_CAP):
+        d = lsh_bucket_drops(e, bucket_cap=cap, **cfg)
+        outs.append(
+            d.select(F.lit(cap).cast("bigint").alias("cap"), "key", "n_ids", "n_dropped")
+        )
+    out = outs[0].unionByName(outs[1])
     return out.select(
+        "cap",
         "key",
         F.col("n_ids").cast("bigint").alias("n_ids"),
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
@@ -592,6 +658,30 @@ def ann_disambiguation_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     label == query label, averaged over all queries."""
     e = _emb(spark, sf_dir)
     top1 = brute_force_topk(e, e, k=1)
+    lab = e.select("vec_id", "label")
+    j = (
+        top1.join(lab, "vec_id")
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nlabel"),
+            "neighbor_id",
+        )
+        .withColumn("hit", (F.col("label") == F.col("nlabel")).cast("int"))
+    )
+    return j.agg(
+        f6(F.avg("hit")).alias("accuracy"), F.count("*").cast("bigint").alias("n_queries")
+    )
+
+
+def ann_ivf_disambiguation_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 over the SCALE path (same aggregation as ann_disambiguation_acc,
+    but the top-1 neighbor comes from capped-cell IVF, not the brute-force
+    crossJoin anchor — the accuracy metric a user would actually run at
+    100 TB). Queries whose probed cells hold no other vector have no top-1
+    row and drop out of the denominator."""
+    from bela_spark.operators.ann import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    top1 = ivf_topk(e, k=1, **ANN_IVF)
     lab = e.select("vec_id", "label")
     j = (
         top1.join(lab, "vec_id")

@@ -23,6 +23,7 @@ ANCHORS = {
     "ann_ivf_recall",
     "er_threshold_grid",     # broadcast crossJoin of a literal 4-row grid
     "er_threshold_grid_2d",  # broadcast crossJoin of two literal 3-row axes
+    "er_threshold_best",     # same literal 3x3 grid, plus the argmax
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
