@@ -25,8 +25,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks at most the
+    # FIRST 50 entries in dict order. Groups, front to back:
+    #   A. queries with no driver row yet (r2's 50-cap cut them) + new in r3;
+    #   B. queries whose semantics changed in r3 (merge ordering, 63-bit
+    #      simhash, winnow df-cap, dense index, LSH asymmetric cap, ks);
+    #   C. the core ER pipeline + ANN scale paths (fresh signal each round);
+    #   D. rotated out this round — each already has two rounds of green
+    #      driver signal and is still covered by scripts/check_oracles.py.
     return {
-        # ER pipeline (blocking -> pairs -> scoring -> clustering)
+        # --- A: first driver signal needed -------------------------------
+        "embed_documents": _q.embed_documents,
+        "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
+        "multimodal_features": _q.multimodal_features,
+        "text_subword_tokens": _q.text_subword_tokens,
+        "el_token_remap": _q.el_token_remap,
+        "catalogue_tokens": _q.catalogue_tokens,
+        "catalogue_entity_truncation": _q.catalogue_entity_truncation,
+        "catalogue_membership": _q.catalogue_membership,
+        "catalogue_type_filter": _q.catalogue_type_filter,
+        "events_hourly_windows": _q.events_hourly_windows,
+        "events_type_stats": _q.events_type_stats,
+        "tpch_pricing_summary": _q.tpch_pricing_summary,
+        "tpch_top_customers": _q.tpch_top_customers,
+        "dedup_simhash_drops": _q.dedup_simhash_drops,
+        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
+        "er_threshold_best": _q.er_threshold_best,
+        "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
+        "streaming_incremental_clusters": _q.streaming_incremental_clusters,
+        # --- B: semantics changed in r3 ----------------------------------
+        "el_interval_merge": _q.el_interval_merge,
+        "el_detect_f1": _q.el_detect_f1,
+        "el_detect_thresholded_f1": _q.el_detect_thresholded_f1,
+        "el_windowed_detect_f1": _q.el_windowed_detect_f1,
+        "dedup_simhash": _q.dedup_simhash,
+        "dedup_simhash_pairs": _q.dedup_simhash_pairs,
+        "dedup_winnow_pairs": _q.dedup_winnow_pairs,
+        "catalogue_index": _q.catalogue_index,
+        "catalogue_multilang_entity": _q.catalogue_multilang_entity,
+        "ann_lsh_topk": _q.ann_lsh_topk,
+        "ann_lsh_recall": _q.ann_lsh_recall,
+        "ann_lsh_bucket_drops": _q.ann_lsh_bucket_drops,
+        "ann_recall_at_k": _q.ann_recall_at_k,
+        # --- C: core pipeline --------------------------------------------
         "er_exact_dedup": _q.er_exact_dedup,
         "er_blocking_prefix": _q.er_blocking_prefix,
         "er_minhash_signatures": _q.er_minhash_signatures,
@@ -41,66 +82,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_flagship_clusters": _q.er_flagship_clusters,
         "er_threshold_grid": _q.er_threshold_grid,
         "er_threshold_grid_2d": _q.er_threshold_grid_2d,
-        "er_threshold_best": _q.er_threshold_best,
-        # dedup extensions
-        "dedup_simhash": _q.dedup_simhash,
-        "dedup_simhash_pairs": _q.dedup_simhash_pairs,
-        "dedup_simhash_drops": _q.dedup_simhash_drops,
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
-        # ANN / retrieval
-        "ann_topk": _q.ann_topk,
-        "ann_recall_at_k": _q.ann_recall_at_k,
-        "ann_mrr": _q.ann_mrr,
-        "ann_lsh_topk": _q.ann_lsh_topk,
-        "ann_lsh_recall": _q.ann_lsh_recall,
-        "ann_lsh_bucket_drops": _q.ann_lsh_bucket_drops,
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
-        "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
+        "text_winnow_fingerprints": _q.text_winnow_fingerprints,
+        # --- D: two rounds of green driver signal; rotated out -----------
+        "ann_topk": _q.ann_topk,
+        "ann_mrr": _q.ann_mrr,
         "ann_disambiguation_acc": _q.ann_disambiguation_acc,
-        # EL query surface
         "el_windows": _q.el_windows,
-        "el_interval_merge": _q.el_interval_merge,
         "el_span_f1": _q.el_span_f1,
         "el_boe_f1": _q.el_boe_f1,
         "el_context_windows": _q.el_context_windows,
         "el_topk_spans": _q.el_topk_spans,
         "el_candidate_spans": _q.el_candidate_spans,
-        "el_detect_f1": _q.el_detect_f1,
-        "el_detect_thresholded_f1": _q.el_detect_thresholded_f1,
-        "el_windowed_detect_f1": _q.el_windowed_detect_f1,
         "el_span_encodings": _q.el_span_encodings,
         "el_mention_context": _q.el_mention_context,
         "el_window_regroup": _q.el_window_regroup,
-        # text analysis
         "text_token_stats": _q.text_token_stats,
         "text_quality": _q.text_quality,
         "text_langid": _q.text_langid,
         "text_fingerprint": _q.text_fingerprint,
-        "text_winnow_fingerprints": _q.text_winnow_fingerprints,
-        "dedup_winnow_pairs": _q.dedup_winnow_pairs,
-        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
         "text_topk_tokens": _q.text_topk_tokens,
-        "catalogue_index": _q.catalogue_index,
         "catalogue_multilang": _q.catalogue_multilang,
-        "catalogue_multilang_entity": _q.catalogue_multilang_entity,
-        # subword token space + token catalogue
-        "text_subword_tokens": _q.text_subword_tokens,
-        "el_token_remap": _q.el_token_remap,
-        "catalogue_tokens": _q.catalogue_tokens,
-        "catalogue_entity_truncation": _q.catalogue_entity_truncation,
-        "catalogue_membership": _q.catalogue_membership,
-        "catalogue_type_filter": _q.catalogue_type_filter,
-        # general analytics
-        "tpch_pricing_summary": _q.tpch_pricing_summary,
-        "tpch_top_customers": _q.tpch_top_customers,
-        "events_type_stats": _q.events_type_stats,
-        "events_hourly_windows": _q.events_hourly_windows,
-        # UDF-backed (still fully oracle-checked via exact kernel replays)
-        "embed_documents": _q.embed_documents,
-        "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
-        "multimodal_features": _q.multimodal_features,
     }
 
 

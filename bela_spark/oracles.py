@@ -472,6 +472,10 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id1, id2 FROM scored2 WHERE score >= 0.60",
         "er_clusters": f"WITH RECURSIVE {_CLUSTERS} "
         + "SELECT doc_id, cluster_id FROM clusters",
+        # streaming_incremental_clusters MUST equal the one-shot batch answer
+        # (incremental CC is an execution strategy, not a semantic): same twin.
+        "streaming_incremental_clusters": f"WITH RECURSIVE {_CLUSTERS} "
+        + "SELECT doc_id, cluster_id FROM clusters",
         "er_flagship_clusters": f"WITH RECURSIVE {_CLUSTERS} "
         + """
             SELECT c.cluster_id,

@@ -223,6 +223,38 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-visible face of the streaming incremental-CC path: the edge set
+    of er_edges arrives in 3 deterministic micro-batches (xxhash64(id1,id2)
+    mod 3), each folded into the accumulated state through the SAME
+    IncrementalLinkage._incremental_cc foreachBatch uses (touched-component
+    re-clustering, untouched components carried verbatim). The final cluster
+    table must equal the one-shot batch answer, so the DuckDB twin is
+    er_clusters' recursive-CTE oracle — the streaming machinery is value-
+    checked, not just pytest-pinned."""
+    from bela_spark.streaming.ingest import IncrementalLinkage
+
+    edges = er_edges(spark, sf_dir)
+    inc = IncrementalLinkage(state_dir="", cfg=CFG)  # state kept in-session
+    old_edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    old_clusters = spark.createDataFrame([], "rid bigint, cluster_id bigint")
+    for b in range(3):
+        batch = edges.filter(
+            F.pmod(F.xxhash64("id1", "id2"), F.lit(3)) == b
+        ).localCheckpoint()
+        assignments = inc._incremental_cc(batch, old_edges, old_clusters)
+        old_edges = old_edges.unionByName(batch).distinct().localCheckpoint()
+        old_clusters = assignments.select(
+            "rid", F.col("component").alias("cluster_id")
+        ).localCheckpoint()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(
+        old_clusters.withColumnRenamed("rid", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def er_flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 10 largest duplicate-content entities with stats."""
     clusters = er_clusters(spark, sf_dir)
