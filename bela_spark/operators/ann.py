@@ -97,12 +97,9 @@ def lsh_bucket_keys(
         )
         out = keys if out is None else out.unionByName(keys)
     if bucket_cap is not None:
-        w = W.partitionBy("key").orderBy(id_col)
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+        from bela_spark.operators.pairs import cap_ids_per_key
+
+        out = cap_ids_per_key(out, bucket_cap, key_col="key", id_col=id_col)
     return out
 
 
@@ -119,11 +116,10 @@ def lsh_bucket_drops(
     """(key, n_ids, n_dropped) for every bucket truncated by bucket_cap — the
     never-silent-truncation companion of lsh_bucket_keys (same contract as
     pairs.cap_keys: bounded fan-out is a feature, silent truncation is not)."""
+    from bela_spark.operators.pairs import key_drop_log
+
     keys = lsh_bucket_keys(embedded, n_planes, n_tables, dim, seed, id_col, emb_col)
-    g = keys.groupBy("key").agg(F.count("*").alias("n_ids"))
-    return g.filter(F.col("n_ids") > bucket_cap).select(
-        "key", "n_ids", (F.col("n_ids") - bucket_cap).alias("n_dropped")
-    )
+    return key_drop_log(keys, bucket_cap, key_col="key")
 
 
 def lsh_topk(
@@ -150,12 +146,9 @@ def lsh_topk(
         embedded, n_planes, n_tables, dim, seed, id_col, emb_col, bucket_cap=None
     )
     if bucket_cap is not None:
-        w = W.partitionBy("key").orderBy(id_col)
-        keys_idx = (
-            keys_all.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+        from bela_spark.operators.pairs import cap_ids_per_key
+
+        keys_idx = cap_ids_per_key(keys_all, bucket_cap, key_col="key", id_col=id_col)
     else:
         keys_idx = keys_all
     e = embedded.select(F.col(id_col), F.col(emb_col))

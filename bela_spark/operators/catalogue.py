@@ -45,14 +45,20 @@ def dense_index(
     land."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint (eager) pins ONE materialized range partitioning that
+    # both the count job and the output read: RangePartitioner boundary
+    # sampling is not guaranteed identical across separately-planned jobs, and
+    # the local ranks are only valid against the exact partitioning the counts
+    # were taken from. (RDD-level checkpoint is ContextCleaner-GC'd when the
+    # frame goes out of scope — a plain .persist() here would leak a pinned
+    # catalogue copy in the CacheManager per call.)
     part = (
         df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     w_local = W.partitionBy("_pid").orderBy(order_col)
-    local = part.withColumn("_lrn", F.row_number().over(w_local))
+    local = part.withColumn("_lrn", F.row_number().over(w_local).cast("bigint"))
     counts = {
         r["_pid"]: r["_n"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
@@ -62,15 +68,21 @@ def dense_index(
         offsets[pid] = acc
         acc += counts[pid]
     if offsets:
+        # offsets as bigint literals: int32 arithmetic would wrap past 2^31
+        # rows — exactly the catalogue scale this helper exists for
         off_map = F.create_map(
-            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+            *[
+                c
+                for pid, o in offsets.items()
+                for c in (F.lit(pid), F.lit(o).cast("bigint"))
+            ]
         )
         off = F.element_at(off_map, F.col("_pid"))
     else:
-        off = F.lit(0)
-    return local.withColumn(
-        index_col, (off + F.col("_lrn") - 1).cast("bigint")
-    ).drop("_pid", "_lrn")
+        off = F.lit(0).cast("bigint")
+    return local.withColumn(index_col, (off + F.col("_lrn") - 1).cast("bigint")).drop(
+        "_pid", "_lrn"
+    )
 
 
 def entity_catalogue(

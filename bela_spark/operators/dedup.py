@@ -113,12 +113,9 @@ def simhash_near_pairs(
     cap (completeness holds; small inputs / the pytest oracle only)."""
     halves = _simhash_block_keys(fingerprints, max_hamming, id_col, bits)
     if block_cap is not None:
-        w = W.partitionBy("hkey").orderBy(id_col)
-        halves = (
-            halves.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= block_cap)
-            .drop("_rn")
-        )
+        from bela_spark.operators.pairs import cap_ids_per_key
+
+        halves = cap_ids_per_key(halves, block_cap, key_col="hkey", id_col=id_col)
     a, b = halves.alias("a"), halves.alias("b")
     return (
         a.join(b, "hkey")
@@ -142,18 +139,11 @@ def simhash_block_drops(
 ) -> DataFrame:
     """(key, n_ids, n_dropped): every simhash block key the cap truncates —
     the drop log that keeps simhash_near_pairs' block_cap never-silent
-    (mirrors pairs.cap_keys)."""
+    (delegates to pairs.key_drop_log — one contract for every cap)."""
+    from bela_spark.operators.pairs import key_drop_log
+
     halves = _simhash_block_keys(fingerprints, max_hamming, id_col, bits)
-    w = W.partitionBy("hkey").orderBy(id_col)
-    wf = W.partitionBy("hkey").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = halves.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_kn", F.count("*").over(wf)
-    )
-    return ranked.filter((F.col("_rn") == 1) & (F.col("_kn") > block_cap)).select(
-        F.col("hkey").alias("key"),
-        F.col("_kn").alias("n_ids"),
-        (F.col("_kn") - block_cap).alias("n_dropped"),
-    )
+    return key_drop_log(halves, block_cap, key_col="hkey")
 
 
 def ngram_jaccard_pairs(

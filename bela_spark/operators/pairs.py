@@ -34,6 +34,39 @@ def keyed_with_stats(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -
     )
 
 
+def cap_ids_per_key(
+    keys: DataFrame, cap: int, key_col: str = "key", id_col: str = "rid"
+) -> DataFrame:
+    """Keep the `cap` LOWEST ids per key (deterministic lowest-ids-win — the
+    single bounded-fan-out rule shared by the ER pair cap, the simhash block
+    cap and the ANN LSH bucket cap, so every cap in the repo truncates the
+    same way and replays in SQL as the same row_number)."""
+    w = W.partitionBy(key_col).orderBy(id_col)
+    return (
+        keys.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def key_counts(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(key, n_ids): per-key cardinality — one partial-aggregated groupBy."""
+    return keys.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_ids")
+    )
+
+
+def key_drop_log(
+    keys: DataFrame, cap: int, key_col: str = "key"
+) -> DataFrame:
+    """(key, n_ids, n_dropped) for every key cap_ids_per_key would truncate —
+    the never-silent companion (same contract as cap_keys' drop log)."""
+    g = key_counts(keys, key_col)
+    return g.filter(F.col("n_ids") > cap).select(
+        "key", "n_ids", (F.col("n_ids") - cap).alias("n_dropped")
+    )
+
+
 def cap_keys(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> tuple[DataFrame, DataFrame]:
     """Enforce max_ids_per_key. Returns (kept_keys, drop_log).
 

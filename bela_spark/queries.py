@@ -33,7 +33,7 @@ from bela_spark.operators.ann import (
     recall_at_k,
 )
 from bela_spark.operators.cc import connected_components
-from bela_spark.operators.dedup import simhash_block_drops, simhash_near_pairs
+from bela_spark.operators.dedup import simhash_near_pairs
 from bela_spark.operators.multimodal import extract_features, synth_media
 
 CFG = LinkageConfig()
@@ -234,7 +234,10 @@ def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     checked, not just pytest-pinned."""
     from bela_spark.streaming.ingest import IncrementalLinkage
 
-    edges = er_edges(spark, sf_dir)
+    # materialize the scored edge set ONCE: each micro-batch below filters a
+    # slice of it, and without this cut the full blocking+scoring lineage
+    # (the pipeline's dominant cost) would re-execute per batch
+    edges = er_edges(spark, sf_dir).localCheckpoint()
     inc = IncrementalLinkage(state_dir="", cfg=CFG)  # state kept in-session
     old_edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
     old_clusters = spark.createDataFrame([], "rid bigint, cluster_id bigint")
@@ -383,24 +386,24 @@ def dedup_simhash_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     served cap (what dedup_simhash_pairs actually drops) and a small audit
     cap (so the mechanism emits fixture-visible rows); the `cap` column says
     which regime each row audits."""
+    from bela_spark.operators.dedup import _simhash_block_keys
+    from bela_spark.operators.pairs import key_counts
+
     fp = dedup_simhash(spark, sf_dir)
-    outs = []
+    halves = _simhash_block_keys(fp, SIMHASH_MAX_HAMMING, "doc_id", SIMHASH_BITS)
+    # ONE counts pass (fingerprints + 7-way block explode + groupBy) serves
+    # both cap regimes; the two filter branches share the aggregate exchange
+    g = key_counts(halves, key_col="hkey")
+    out = None
     for cap in (SIMHASH_BLOCK_CAP, SIMHASH_DROPS_CAP):
-        d = simhash_block_drops(
-            fp,
-            max_hamming=SIMHASH_MAX_HAMMING,
-            id_col="doc_id",
-            bits=SIMHASH_BITS,
-            block_cap=cap,
+        d = g.filter(F.col("n_ids") > cap).select(
+            F.lit(cap).cast("bigint").alias("cap"),
+            "key",
+            F.col("n_ids").cast("bigint").alias("n_ids"),
+            (F.col("n_ids") - cap).cast("bigint").alias("n_dropped"),
         )
-        outs.append(d.select(F.lit(cap).cast("bigint").alias("cap"), "key", "n_ids", "n_dropped"))
-    out = outs[0].unionByName(outs[1])
-    return out.select(
-        "cap",
-        "key",
-        F.col("n_ids").cast("bigint").alias("n_ids"),
-        F.col("n_dropped").cast("bigint").alias("n_dropped"),
-    )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,25 +638,25 @@ def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture-visible rows proving the mechanism). The `cap` column says
     which regime each row audits — the r2 version logged only the audit cap,
     so the log did not describe what the served queries drop."""
-    from bela_spark.operators.ann import lsh_bucket_drops
+    from bela_spark.operators.pairs import key_counts
     from bela_spark.oracles import LSH_DROPS_CAP
 
     e = _emb(spark, sf_dir)
     cfg = {**ANN_LSH}
     served_cap = cfg.pop("bucket_cap")
-    outs = []
+    keys = lsh_bucket_keys(e, **cfg)
+    # ONE bucket-counts pass (hyperplane keys + groupBy) serves both regimes
+    g = key_counts(keys, key_col="key")
+    out = None
     for cap in (served_cap, LSH_DROPS_CAP):
-        d = lsh_bucket_drops(e, bucket_cap=cap, **cfg)
-        outs.append(
-            d.select(F.lit(cap).cast("bigint").alias("cap"), "key", "n_ids", "n_dropped")
+        d = g.filter(F.col("n_ids") > cap).select(
+            F.lit(cap).cast("bigint").alias("cap"),
+            "key",
+            F.col("n_ids").cast("bigint").alias("n_ids"),
+            (F.col("n_ids") - cap).cast("bigint").alias("n_dropped"),
         )
-    out = outs[0].unionByName(outs[1])
-    return out.select(
-        "cap",
-        "key",
-        F.col("n_ids").cast("bigint").alias("n_ids"),
-        F.col("n_dropped").cast("bigint").alias("n_dropped"),
-    )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
