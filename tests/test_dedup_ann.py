@@ -204,3 +204,28 @@ def test_lsh_topk_recall_vs_brute(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_lsh_topk_cap_is_index_side_only(spark):
+    """The bucket cap bounds who is OFFERED as a neighbor, never a vector's
+    own candidate generation (ivf_topk parity): with 5 identical vectors in
+    one bucket and cap=2, the two lowest ids are the only retrievable
+    neighbors, but ALL five vectors still emit their own top-k rows —
+    a symmetric cap (the r2 behavior) would silence v2..v4 entirely."""
+    from bela_spark.operators.ann import lsh_topk
+
+    vec = [1.0] * 8
+    e = spark.createDataFrame(
+        [(f"v{i}", vec) for i in range(5)],
+        "vec_id string, embedding array<double>",
+    )
+    out = lsh_topk(e, k=5, n_planes=2, n_tables=1, dim=8, seed=1, bucket_cap=2)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    # every vector queries — none lost its own top-k
+    assert set(by_query) == {f"v{i}" for i in range(5)}
+    # offered neighbors come only from the capped index side (v0, v1)
+    for q, ns in by_query.items():
+        assert ns == {"v0", "v1"} - {q}
