@@ -1359,8 +1359,9 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6(F.sum("o_totalprice")).alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
-    w = W.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
-    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20).drop("rank")
+    # top-N via TakeOrderedAndProject (parallel partial top-20 per partition),
+    # not a global-order row_number window (single-partition WindowExec)
+    return agg.orderBy(F.desc("total_spend"), F.asc("c_custkey")).limit(20)
 
 
 # ---------------------------------------------------------------------------

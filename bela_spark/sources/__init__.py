@@ -1,0 +1,5 @@
+from bela_spark.sources.repo_files import (  # noqa: F401
+    REPO_FILES_COLUMNS,
+    read_repo_files,
+    write_repo_files,
+)

@@ -1,0 +1,122 @@
+"""Source/sink layer for the north-rule input table.
+
+The pipeline's one input is an Iceberg table of source-code repositories with
+columns ``(repo, path, commit, lang, content)`` (BASELINE.json input_hint).
+This module is the single place that turns a *source spec string* into that
+DataFrame, so every entry point (spark-submit job, tests, bench) shares one
+read path with one schema contract:
+
+    iceberg:<catalog.db.table>   Iceberg table (needs the iceberg-spark
+                                 runtime on the cluster; see ICEBERG_HELP)
+    table:<name>                 any catalog table (works for Iceberg tables
+                                 once the catalog is configured — on a real
+                                 deployment this is the common spelling)
+    parquet:<path> | <path>      parquet file/directory
+    documents:<sf_dir>           driver `documents` table adapted to shape
+    synth:rows=N[,seed=S]        deterministic synthetic table (fixtures)
+
+Scale notes: the read is column-pruned to exactly the five contract columns
+(content is by far the widest — pruning anything else off the scan matters at
+10^12 files), and validation touches only the schema, never the data. Writes
+partition by ``lang`` (low cardinality, the pipeline's natural scan filter)
+— never by ``repo`` (10^8 distinct values would explode the file count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO_FILES_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+ICEBERG_HELP = (
+    "reading 'iceberg:{table}' needs the Iceberg Spark runtime and a catalog, "
+    "e.g.:\n"
+    "  spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\\n"
+    "    --conf spark.sql.catalog.my_cat=org.apache.iceberg.spark.SparkCatalog \\\n"
+    "    --conf spark.sql.catalog.my_cat.type=rest \\\n"
+    "    --conf spark.sql.catalog.my_cat.uri=<catalog-uri> ...\n"
+    "(this sandbox has no Iceberg jars; use parquet:/synth: locally)"
+)
+
+
+def _validate(df: DataFrame, source: str) -> DataFrame:
+    """Enforce the input contract: the five columns exist and are strings.
+
+    Returns the frame pruned to exactly the contract columns (explicit
+    column pruning — extra table columns never reach the scan)."""
+    missing = [c for c in REPO_FILES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source {source!r} is missing required columns {missing}; "
+            f"need {list(REPO_FILES_COLUMNS)}, got {df.columns}"
+        )
+    types = dict(df.dtypes)
+    bad = [c for c in REPO_FILES_COLUMNS if types[c] != "string"]
+    if bad:
+        raise ValueError(
+            f"source {source!r}: columns {bad} must be string, got "
+            f"{[(c, types[c]) for c in bad]}"
+        )
+    return df.select(*REPO_FILES_COLUMNS)
+
+
+def _parse_kv(spec: str) -> dict[str, str]:
+    return dict(part.split("=", 1) for part in spec.split(",") if part)
+
+
+def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
+    """Source spec string -> validated (repo, path, commit, lang, content)."""
+    if source.startswith("iceberg:"):
+        table = source[len("iceberg:"):]
+        try:
+            df = spark.read.format("iceberg").load(table)
+        except Exception as e:  # jar/catalog missing -> actionable message
+            raise RuntimeError(ICEBERG_HELP.format(table=table)) from e
+        return _validate(df, source)
+    if source.startswith("table:"):
+        return _validate(spark.table(source[len("table:"):]), source)
+    if source.startswith("documents:"):
+        from bela_spark.pipeline import documents_as_repo_files
+
+        return _validate(
+            documents_as_repo_files(spark, source[len("documents:"):]), source
+        )
+    if source.startswith("synth:"):
+        from bela_spark.fixtures import synth_repo_files
+
+        kv = _parse_kv(source[len("synth:"):])
+        return _validate(
+            synth_repo_files(
+                spark, n_rows=int(kv["rows"]), seed=int(kv.get("seed", "42"))
+            ),
+            source,
+        )
+    path = source[len("parquet:"):] if source.startswith("parquet:") else source
+    return _validate(spark.read.parquet(path), source)
+
+
+def write_repo_files(df: DataFrame, target: str, mode: str = "error") -> None:
+    """Write a repo_files-shaped frame to an Iceberg table or parquet dir.
+
+    Iceberg targets get a hidden partition spec of (lang, bucket(64, repo)):
+    lang is the scan filter the pipeline pushes down, and bucketing repo keeps
+    any one repo's files in bounded file sets without a 10^8-way partition
+    explosion. Parquet targets partition by lang only (same pushdown, no
+    bucket support without a table format)."""
+    df = _validate(df, target)
+    if target.startswith("iceberg:"):
+        table = target[len("iceberg:"):]
+        try:
+            writer = df.writeTo(table).using("iceberg").partitionedBy(
+                F.col("lang"), F.bucket(64, "repo")
+            )
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.create()
+        except Exception as e:
+            raise RuntimeError(ICEBERG_HELP.format(table=table)) from e
+        return
+    path = target[len("parquet:"):] if target.startswith("parquet:") else target
+    df.write.mode(mode).partitionBy("lang").parquet(path)

@@ -1,0 +1,98 @@
+"""spark-submit entry point for the record-linkage pipeline (north rule).
+
+Cluster launch (the deployment shape BASELINE.json specifies):
+
+    zip -r bela_spark.zip bela_spark
+    spark-submit --py-files bela_spark.zip \\
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+        scripts/submit_linkage.py \\
+        --input iceberg:cat.db.repo_files --output /out/linkage
+
+Local smoke (what tests/test_submit_job.py actually runs):
+
+    spark-submit --master 'local[4]' --py-files bela_spark.zip \\
+        scripts/submit_linkage.py --input synth:rows=2000 --output /tmp/out
+
+Unlike the test/bench session factory, this builds its session WITHOUT a
+master or resource config — spark-submit owns those on a cluster. Only the
+pipeline-semantic confs (AQE, Arrow) are set, and only as defaults.
+
+Outputs under --output:
+    clusters/        parquet: every input row + cluster_id (partitioned by lang)
+    key_drops/       parquet: the never-silent blocking-key truncation log
+    metrics.json     row/pair/cluster counts + top cluster sizes (driver-small)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# --py-files ships the bela_spark package zip; repo-root layout also works
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="source spec (see bela_spark.sources)")
+    p.add_argument("--output", required=True, help="output directory or parquet: spec")
+    p.add_argument("--checkpoint-dir", default=None, help="CC lineage/resume dir")
+    p.add_argument("--batched-scoring", action="store_true",
+                   help="add embedding-cosine feature (Arrow-batched encoder)")
+    p.add_argument("--no-collapse-exact", action="store_true",
+                   help="disable exact-content pre-collapse (debug only)")
+    args = p.parse_args(argv)
+
+    from bela_spark.config import LinkageConfig
+    from bela_spark.pipeline import cluster_stats, run_linkage
+    from bela_spark.sources import read_repo_files
+
+    spark = build_session("bela-linkage")
+    cfg = LinkageConfig(checkpoint_dir=args.checkpoint_dir)
+
+    df = read_repo_files(spark, args.input)
+    run = run_linkage(
+        df,
+        cfg,
+        batched_scoring=args.batched_scoring,
+        collapse_exact=not args.no_collapse_exact,
+    )
+
+    out = args.output.rstrip("/")
+    run.clusters.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/clusters")
+    run.key_drops.write.mode("overwrite").parquet(f"{out}/key_drops")
+
+    # driver-small aggregates only (counts + top-10 cluster sizes)
+    clusters = spark.read.parquet(f"{out}/clusters")  # reuse the written result
+    top = [r.asDict() for r in cluster_stats(clusters).collect()]
+    metrics = {
+        "input": args.input,
+        "rows": clusters.count(),
+        "clusters": clusters.select("cluster_id").distinct().count(),
+        "cc_rounds": run.cc.rounds,
+        "dropped_keys": run.key_drops.count(),
+        "top_clusters": top,
+    }
+    os.makedirs(out, exist_ok=True)
+    with open(f"{out}/metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    print(json.dumps(metrics, default=str))
+
+
+if __name__ == "__main__":
+    main()

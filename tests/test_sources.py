@@ -1,0 +1,76 @@
+"""Source/sink layer: spec dispatch, schema contract, parquet roundtrip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bela_spark.sources import REPO_FILES_COLUMNS, read_repo_files, write_repo_files
+
+
+def test_synth_spec(spark):
+    df = read_repo_files(spark, "synth:rows=200,seed=7")
+    assert df.columns == list(REPO_FILES_COLUMNS)
+    assert df.count() == 200
+
+
+def test_parquet_roundtrip_preserves_sha(spark, tmp_path):
+    """Per-row invariant (input_hint): content sha256 survives the sink."""
+    src = read_repo_files(spark, "synth:rows=150")
+    out = str(tmp_path / "rf")
+    write_repo_files(src, out, mode="overwrite")
+    back = read_repo_files(spark, f"parquet:{out}")
+    assert back.columns == list(REPO_FILES_COLUMNS)
+    sha = lambda d: {
+        r[0]
+        for r in d.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit", "content"), 256)
+        ).collect()
+    }
+    assert sha(back) == sha(src)
+    # lang partitioning materialized (pushdown-able scan filter)
+    assert (tmp_path / "rf").glob("lang=*"), "expected lang= partition dirs"
+    assert any((tmp_path / "rf").glob("lang=*"))
+
+
+def test_table_spec(spark):
+    read_repo_files(spark, "synth:rows=50").createOrReplaceTempView("rf_view")
+    assert read_repo_files(spark, "table:rf_view").count() == 50
+
+
+def test_documents_spec(spark):
+    df = read_repo_files(spark, "documents:/root/testdata/sf0.001")
+    assert df.columns == list(REPO_FILES_COLUMNS)
+    assert df.count() > 0
+
+
+def test_missing_column_rejected(spark):
+    bad = read_repo_files(spark, "synth:rows=10").drop("commit")
+    with pytest.raises(ValueError, match="commit"):
+        from bela_spark.sources.repo_files import _validate
+
+        _validate(bad, "bad")
+
+
+def test_non_string_column_rejected(spark):
+    bad = read_repo_files(spark, "synth:rows=10").withColumn(
+        "commit", F.lit(1)
+    )
+    from bela_spark.sources.repo_files import _validate
+
+    with pytest.raises(ValueError, match="must be string"):
+        _validate(bad, "bad")
+
+
+def test_extra_columns_pruned(spark):
+    from bela_spark.fixtures import synth_repo_files
+
+    df = synth_repo_files(spark, 20, with_truth=True)  # extra group_id column
+    df.createOrReplaceTempView("rf_truth_view")
+    assert read_repo_files(spark, "table:rf_truth_view").columns == list(
+        REPO_FILES_COLUMNS
+    )
+
+
+def test_iceberg_spec_fails_actionably(spark):
+    """No Iceberg runtime in this sandbox: the error must say how to add it."""
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_repo_files(spark, "iceberg:cat.db.repo_files")
