@@ -12,6 +12,10 @@ read path with one schema contract:
                                  once the catalog is configured — on a real
                                  deployment this is the common spelling)
     parquet:<path> | <path>      parquet file/directory
+    jsonl:<path>                 JSONL lines (the reference's at-rest format,
+                                 bela/datamodule/joint_el_datamodule.py:43-163;
+                                 read with an EXPLICIT schema — inference would
+                                 scan 100 TB twice)
     documents:<sf_dir>           driver `documents` table adapted to shape
     synth:rows=N[,seed=S]        deterministic synthetic table (fixtures)
 
@@ -82,6 +86,10 @@ def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
         return _validate(
             documents_as_repo_files(spark, source[len("documents:"):]), source
         )
+    if source.startswith("jsonl:"):
+        schema = ", ".join(f"{c} string" for c in REPO_FILES_COLUMNS)
+        df = spark.read.schema(schema).json(source[len("jsonl:"):])
+        return _validate(df, source)
     if source.startswith("synth:"):
         from bela_spark.fixtures import synth_repo_files
 

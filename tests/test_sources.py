@@ -31,6 +31,19 @@ def test_parquet_roundtrip_preserves_sha(spark, tmp_path):
     assert any((tmp_path / "rf").glob("lang=*"))
 
 
+def test_jsonl_spec(spark, tmp_path):
+    """S1 face: JSONL at rest, explicit schema (no inference scan)."""
+    rows = read_repo_files(spark, "synth:rows=40").collect()
+    p = tmp_path / "rf.jsonl"
+    import json
+
+    p.write_text("\n".join(json.dumps(r.asDict()) for r in rows))
+    back = read_repo_files(spark, f"jsonl:{p}")
+    assert back.columns == list(REPO_FILES_COLUMNS)
+    assert back.count() == 40
+    assert {r["content"] for r in back.collect()} == {r["content"] for r in rows}
+
+
 def test_table_spec(spark):
     read_repo_files(spark, "synth:rows=50").createOrReplaceTempView("rf_view")
     assert read_repo_files(spark, "table:rf_view").count() == 50
