@@ -20,6 +20,8 @@ hot/cold branch so the expensive key-generation DAG runs exactly once.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from bela_spark.config import LinkageConfig
@@ -57,14 +59,30 @@ def key_counts(keys: DataFrame, key_col: str = "key") -> DataFrame:
 
 
 def key_drop_log(
-    keys: DataFrame, cap: int, key_col: str = "key"
+    keys: DataFrame, cap: int | Sequence[int], key_col: str = "key"
 ) -> DataFrame:
     """(key, n_ids, n_dropped) for every key cap_ids_per_key would truncate —
-    the never-silent companion (same contract as cap_keys' drop log)."""
+    the never-silent companion (same contract as cap_keys' drop log).
+
+    With a sequence of caps, ONE counts pass (the aggregate exchange is
+    shared) feeds one filter per cap regime and the output gains a leading
+    ``cap`` column: (cap, key, n_ids, n_dropped), all bigint — the dual-cap
+    audit shape used by the simhash-block and LSH-bucket drop queries."""
     g = key_counts(keys, key_col)
-    return g.filter(F.col("n_ids") > cap).select(
-        "key", "n_ids", (F.col("n_ids") - cap).alias("n_dropped")
-    )
+    if isinstance(cap, int):
+        return g.filter(F.col("n_ids") > cap).select(
+            "key", "n_ids", (F.col("n_ids") - cap).alias("n_dropped")
+        )
+    out = None
+    for c in cap:
+        d = g.filter(F.col("n_ids") > c).select(
+            F.lit(c).cast("bigint").alias("cap"),
+            "key",
+            F.col("n_ids").cast("bigint").alias("n_ids"),
+            (F.col("n_ids") - c).cast("bigint").alias("n_dropped"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def cap_keys(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> tuple[DataFrame, DataFrame]:

@@ -387,23 +387,13 @@ def dedup_simhash_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (so the mechanism emits fixture-visible rows); the `cap` column says
     which regime each row audits."""
     from bela_spark.operators.dedup import _simhash_block_keys
-    from bela_spark.operators.pairs import key_counts
+    from bela_spark.operators.pairs import key_drop_log
 
     fp = dedup_simhash(spark, sf_dir)
     halves = _simhash_block_keys(fp, SIMHASH_MAX_HAMMING, "doc_id", SIMHASH_BITS)
     # ONE counts pass (fingerprints + 7-way block explode + groupBy) serves
     # both cap regimes; the two filter branches share the aggregate exchange
-    g = key_counts(halves, key_col="hkey")
-    out = None
-    for cap in (SIMHASH_BLOCK_CAP, SIMHASH_DROPS_CAP):
-        d = g.filter(F.col("n_ids") > cap).select(
-            F.lit(cap).cast("bigint").alias("cap"),
-            "key",
-            F.col("n_ids").cast("bigint").alias("n_ids"),
-            (F.col("n_ids") - cap).cast("bigint").alias("n_dropped"),
-        )
-        out = d if out is None else out.unionByName(d)
-    return out
+    return key_drop_log(halves, (SIMHASH_BLOCK_CAP, SIMHASH_DROPS_CAP), key_col="hkey")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,7 +628,7 @@ def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture-visible rows proving the mechanism). The `cap` column says
     which regime each row audits — the r2 version logged only the audit cap,
     so the log did not describe what the served queries drop."""
-    from bela_spark.operators.pairs import key_counts
+    from bela_spark.operators.pairs import key_drop_log
     from bela_spark.oracles import LSH_DROPS_CAP
 
     e = _emb(spark, sf_dir)
@@ -646,17 +636,7 @@ def ann_lsh_bucket_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     served_cap = cfg.pop("bucket_cap")
     keys = lsh_bucket_keys(e, **cfg)
     # ONE bucket-counts pass (hyperplane keys + groupBy) serves both regimes
-    g = key_counts(keys, key_col="key")
-    out = None
-    for cap in (served_cap, LSH_DROPS_CAP):
-        d = g.filter(F.col("n_ids") > cap).select(
-            F.lit(cap).cast("bigint").alias("cap"),
-            "key",
-            F.col("n_ids").cast("bigint").alias("n_ids"),
-            (F.col("n_ids") - cap).cast("bigint").alias("n_dropped"),
-        )
-        out = d if out is None else out.unionByName(d)
-    return out
+    return key_drop_log(keys, (served_cap, LSH_DROPS_CAP), key_col="key")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,7 +1296,9 @@ def dedup_winnow_fp_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("fp").cast("bigint").alias("fp"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").alias("n_pairs_suppressed"),
+        # integer `div`, not `/`: double division loses exactness past 2^53,
+        # i.e. on exactly the mega-frequency fingerprints this log is for
+        F.expr("(n_docs * (n_docs - 1)) div 2").alias("n_pairs_suppressed"),
     )
 
 

@@ -69,14 +69,28 @@ def _parse_kv(spec: str) -> dict[str, str]:
     return dict(part.split("=", 1) for part in spec.split(",") if part)
 
 
+def _wrap_iceberg_error(e: Exception, table: str) -> Exception:
+    """Translate ONLY missing-runtime failures into the setup help message;
+    real errors (table exists / not found / permission) pass through so the
+    operator sees the actual cause, not a misleading --packages hint."""
+    msg = str(e)
+    if any(
+        s in msg
+        for s in ("DATA_SOURCE_NOT_FOUND", "Failed to find the data source",
+                  "Failed to find data source", "ClassNotFoundException")
+    ):
+        return RuntimeError(ICEBERG_HELP.format(table=table))
+    return e
+
+
 def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
     """Source spec string -> validated (repo, path, commit, lang, content)."""
     if source.startswith("iceberg:"):
         table = source[len("iceberg:"):]
         try:
             df = spark.read.format("iceberg").load(table)
-        except Exception as e:  # jar/catalog missing -> actionable message
-            raise RuntimeError(ICEBERG_HELP.format(table=table)) from e
+        except Exception as e:  # missing runtime -> actionable message
+            raise _wrap_iceberg_error(e, table) from e
         return _validate(df, source)
     if source.startswith("table:"):
         return _validate(spark.table(source[len("table:"):]), source)
@@ -124,7 +138,7 @@ def write_repo_files(df: DataFrame, target: str, mode: str = "error") -> None:
             else:
                 writer.create()
         except Exception as e:
-            raise RuntimeError(ICEBERG_HELP.format(table=table)) from e
+            raise _wrap_iceberg_error(e, table) from e
         return
     path = target[len("parquet:"):] if target.startswith("parquet:") else target
     df.write.mode(mode).partitionBy("lang").parquet(path)

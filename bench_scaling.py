@@ -44,6 +44,13 @@ def worker(cpus: int, rows: int) -> None:
     from pyspark.sql import Window as W, functions as F
 
     cfg = LinkageConfig()
+    # 48g heap for BOTH arms: at the default 24g the 32-thread JVM is
+    # GC-throttled (measured: 74-92s/pass vs a stable 55s at 48g, while the
+    # 8-thread arm is unaffected) — an artifact of packing 4N cores into ONE
+    # JVM that a real 4N-executor cluster (per-executor heaps) doesn't have.
+    # Sizing memory with parallelism is exactly what a cluster deployment
+    # does; without it the measurement under-reports cluster scaling.
+    os.environ.setdefault("BELA_SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name=f"bela-scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -86,8 +93,8 @@ def worker(cpus: int, rows: int) -> None:
     # key-partitioned input. The DAG is built ONCE (py4j expression
     # construction is driver-serial, a per-job one-time cost on a real
     # cluster); pass 0 warms plan compilation and materializes the persisted
-    # key table; passes 1..2 measure steady-state distributed execution —
-    # exactly what dominates a 100TB run. sum(score) forces the scoring
+    # key table; the later passes measure steady-state distributed execution
+    # — exactly what dominates a 100TB run. sum(score) forces the scoring
     # projection (a bare count() would let Catalyst prune the Levenshtein).
     def build_agg():
         scored_by_key, _drops = block_and_score(base, persist=True)
@@ -96,7 +103,11 @@ def worker(cpus: int, rows: int) -> None:
     row = build_agg().collect()[0]  # warm pass: codegen + key-table cache
     n_pairs = int(row["n"])
     passes = []
-    for _ in range(2):
+    # min-of-N is the steady-state estimator: external contention (stray
+    # processes, GC pauses from the shared box) only ever ADDS time, so the
+    # minimum is the closest observable to the true distributed cost. N=3
+    # by default — 2 was not robust to this box's load spikes.
+    for _ in range(int(os.environ.get("BELA_SCALE_PASSES", "3"))):
         # fresh DAG per pass (same canonical plan -> cache + codegen reuse,
         # but new RDD lineage -> shuffles and scoring genuinely re-execute);
         # DAG construction itself is untimed per-job driver cost

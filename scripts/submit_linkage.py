@@ -73,7 +73,8 @@ def main(argv: list[str] | None = None) -> None:
         collapse_exact=not args.no_collapse_exact,
     )
 
-    out = args.output.rstrip("/")
+    out = args.output
+    out = (out[len("parquet:"):] if out.startswith("parquet:") else out).rstrip("/")
     run.clusters.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/clusters")
     run.key_drops.write.mode("overwrite").parquet(f"{out}/key_drops")
 

@@ -27,8 +27,7 @@ def test_parquet_roundtrip_preserves_sha(spark, tmp_path):
     }
     assert sha(back) == sha(src)
     # lang partitioning materialized (pushdown-able scan filter)
-    assert (tmp_path / "rf").glob("lang=*"), "expected lang= partition dirs"
-    assert any((tmp_path / "rf").glob("lang=*"))
+    assert any((tmp_path / "rf").glob("lang=*")), "expected lang= partition dirs"
 
 
 def test_jsonl_spec(spark, tmp_path):
