@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
         "er_threshold_best": _q.er_threshold_best,
         "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
+        "ann_ivf_mrr": _q.ann_ivf_mrr,
         "streaming_incremental_clusters": _q.streaming_incremental_clusters,
         # --- B: semantics changed in r3 ----------------------------------
         "el_interval_merge": _q.el_interval_merge,
@@ -86,8 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
+        # --- D: green driver signal already; rotated out ------------------
         "text_winnow_fingerprints": _q.text_winnow_fingerprints,
-        # --- D: two rounds of green driver signal; rotated out -----------
         "ann_topk": _q.ann_topk,
         "ann_mrr": _q.ann_mrr,
         "ann_disambiguation_acc": _q.ann_disambiguation_acc,

@@ -773,6 +773,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_queries
             FROM hits
         """,
+        "ann_ivf_mrr": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            {_ivf_cells_sql(**ANN_IVF)},
+            cand AS (
+              SELECT DISTINCT p.qvec_id AS vec_id, c.neighbor_id
+              FROM probe_cells p JOIN cat_cells c USING (cell)
+              WHERE p.qvec_id <> c.neighbor_id
+            ),
+            sc AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_inner_product(ea.emb, eb.emb) AS ip
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_id
+              JOIN e eb ON eb.vec_id = c.neighbor_id
+            ),
+            iranked AS (
+              SELECT vec_id, neighbor_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+              FROM sc
+            ),
+            firsts AS (
+              SELECT r.vec_id, min(r.rank) AS first_rank
+              FROM iranked r
+              JOIN embeddings la ON la.vec_id = r.vec_id
+              JOIN embeddings lb ON lb.vec_id = r.neighbor_id
+              WHERE r.rank <= 10 AND la.label = lb.label
+              GROUP BY r.vec_id
+            )
+            SELECT floor(avg(1.0 / first_rank) * 1000000) / 1000000 AS mrr,
+                   floor(avg(first_rank::DOUBLE) * 1000000) / 1000000 AS mean_rank,
+                   count(*)::BIGINT AS n_queries
+            FROM firsts
+        """,
         "ann_ivf_recall": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             {_ivf_cells_sql(**ANN_IVF)},

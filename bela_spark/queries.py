@@ -711,6 +711,23 @@ def ann_ivf_disambiguation_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 over the SCALE path: MRR + mean first-hit rank of the capped-cell
+    IVF top-10 (same aggregation as ann_mrr, which stays pinned to the
+    brute-force anchor — this is the ranking-quality metric a user would
+    actually run at 100 TB)."""
+    from bela_spark.operators.ann import ivf_topk, mrr
+
+    e = _emb(spark, sf_dir)
+    topk = ivf_topk(e, k=10, **ANN_IVF)
+    out = mrr(topk, e.select("vec_id", "label"))
+    return out.select(
+        f6("mrr").alias("mrr"),
+        f6("mean_rank").alias("mean_rank"),
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+    )
+
+
 def catalogue_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/A7 (MultilangEntityCatalogue, mblink/utils/utils.py:80-136): per
     lang pick the source with the max doc count (max-count selection with a
