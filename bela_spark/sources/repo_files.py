@@ -12,6 +12,9 @@ read path with one schema contract:
                                  once the catalog is configured — on a real
                                  deployment this is the common spelling)
     parquet:<path> | <path>      parquet file/directory
+    orc:<path>                   ORC file/directory
+    csv:<path>                   headered CSV (explicit schema, multiline
+                                 quoted content)
     jsonl:<path>                 JSONL lines (the reference's at-rest format,
                                  bela/datamodule/joint_el_datamodule.py:43-163;
                                  read with an EXPLICIT schema — inference would
@@ -32,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REPO_FILES_COLUMNS = ("repo", "path", "commit", "lang", "content")
+_CONTRACT_DDL = ", ".join(f"{c} string" for c in REPO_FILES_COLUMNS)
 
 ICEBERG_HELP = (
     "reading 'iceberg:{table}' needs the Iceberg Spark runtime and a catalog, "
@@ -101,8 +105,20 @@ def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
             documents_as_repo_files(spark, source[len("documents:"):]), source
         )
     if source.startswith("jsonl:"):
-        schema = ", ".join(f"{c} string" for c in REPO_FILES_COLUMNS)
-        df = spark.read.schema(schema).json(source[len("jsonl:"):])
+        df = spark.read.schema(_CONTRACT_DDL).json(source[len("jsonl:"):])
+        return _validate(df, source)
+    if source.startswith("orc:"):
+        return _validate(spark.read.orc(source[len("orc:"):]), source)
+    if source.startswith("csv:"):
+        df = spark.read.schema(_CONTRACT_DDL).csv(
+            source[len("csv:"):],
+            header=True,
+            multiLine=True,  # source-code content spans lines inside quotes
+            escape='"',
+            # content is bytes-exact (sha256 row invariant): never trim
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
         return _validate(df, source)
     if source.startswith("synth:"):
         from bela_spark.fixtures import synth_repo_files
@@ -116,6 +132,23 @@ def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
         )
     path = source[len("parquet:"):] if source.startswith("parquet:") else source
     return _validate(spark.read.parquet(path), source)
+
+
+def read_repo_files_stream(
+    spark: SparkSession,
+    directory: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured Streaming face of the contract table: files landing in
+    `directory` become micro-batches with the same validated, pruned schema —
+    the feed the incremental-linkage loop (streaming/ingest.py) consumes.
+    `max_files_per_trigger` bounds per-batch work (the backpressure knob for a
+    CDC-style drip of repo snapshots)."""
+    reader = spark.readStream.schema(_CONTRACT_DDL).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _validate(reader.load(directory), f"stream:{directory}")
 
 
 def write_repo_files(df: DataFrame, target: str, mode: str = "error") -> None:

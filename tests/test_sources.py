@@ -43,6 +43,57 @@ def test_jsonl_spec(spark, tmp_path):
     assert {r["content"] for r in back.collect()} == {r["content"] for r in rows}
 
 
+def test_orc_spec(spark, tmp_path):
+    src = read_repo_files(spark, "synth:rows=30")
+    p = str(tmp_path / "rf_orc")
+    src.write.orc(p)
+    back = read_repo_files(spark, f"orc:{p}")
+    assert back.columns == list(REPO_FILES_COLUMNS)
+    assert back.count() == 30
+
+
+def test_csv_spec_multiline_content(spark, tmp_path):
+    """Quoted multi-line source-code content survives the CSV roundtrip."""
+    src = read_repo_files(spark, "synth:rows=30")
+    p = str(tmp_path / "rf_csv")
+    (
+        src.write.option("header", True)
+        .option("escape", '"')
+        # the writer ALSO trims by default — trailing newlines in content
+        # must survive for the sha256 row invariant
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(p)
+    )
+    back = read_repo_files(spark, f"csv:{p}")
+    assert back.count() == 30
+    assert {r["content"] for r in back.collect()} == {
+        r["content"] for r in src.collect()
+    }
+
+
+def test_stream_spec(spark, tmp_path):
+    """readStream over the contract dir: two file drops -> all rows, pruned
+    schema (the feed incremental linkage consumes)."""
+    from bela_spark.sources import read_repo_files_stream
+
+    d = str(tmp_path / "drops")
+    read_repo_files(spark, "synth:rows=20,seed=1").write.parquet(f"{d}/b1")
+    read_repo_files(spark, "synth:rows=10,seed=2").write.parquet(f"{d}/b2")
+    stream = read_repo_files_stream(spark, f"{d}/*", max_files_per_trigger=4)
+    assert stream.isStreaming
+    assert stream.columns == list(REPO_FILES_COLUMNS)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rf_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("rf_stream_test").count() == 30
+
+
 def test_table_spec(spark):
     read_repo_files(spark, "synth:rows=50").createOrReplaceTempView("rf_view")
     assert read_repo_files(spark, "table:rf_view").count() == 50
