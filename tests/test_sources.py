@@ -94,6 +94,49 @@ def test_stream_spec(spark, tmp_path):
     assert spark.table("rf_stream_test").count() == 30
 
 
+ADVERSARIAL_CONTENT = [
+    'quotes "double" and \'single\'',
+    "commas, semicolons; and\ttabs",
+    "trailing newline\n",
+    "\nleading newline and\r\nCRLF",
+    "unicode: наушники 機械 🎧 ß",
+    "",
+    '"fully quoted"',
+    "embedded \"quote, comma\" mix\nline2,\"x\"\n",
+]
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_text_format_roundtrip_adversarial(spark, tmp_path, fmt):
+    """The text at-rest formats must keep content BYTES-EXACT (sha256 row
+    invariant) through quotes, separators, CR/LF, unicode and empties."""
+    rows = [
+        (f"r{i}", f"p{i}", f"c{i}", "py", content)
+        for i, content in enumerate(ADVERSARIAL_CONTENT)
+    ]
+    src = spark.createDataFrame(rows, schema=list(REPO_FILES_COLUMNS))
+    p = str(tmp_path / f"rf_{fmt}")
+    if fmt == "csv":
+        (
+            src.write.option("header", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(p)
+        )
+    else:
+        src.write.json(p)
+    back = read_repo_files(spark, f"{fmt}:{p}")
+    got = {(r["repo"], r["content"]) for r in back.collect()}
+    want = {(r, c if c else None) for r, _, _, _, c in rows} if fmt == "csv" else {
+        (r, c) for r, _, _, _, c in rows
+    }
+    if fmt == "csv":
+        # CSV cannot distinguish empty string from null — documented limit
+        got = {(r, c if c else None) for r, c in got}
+    assert got == want
+
+
 def test_table_spec(spark):
     read_repo_files(spark, "synth:rows=50").createOrReplaceTempView("rf_view")
     assert read_repo_files(spark, "table:rf_view").count() == 50
