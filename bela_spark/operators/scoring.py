@@ -15,7 +15,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
@@ -295,23 +295,38 @@ def fused_block_and_score(
         .drop("_s1", "_s2")
     )
 
-    # chaining: member at rank r pairs with ranks r+1..r+w (ids ascend with
-    # rank, so id1 < id2 holds by construction)
+    # chaining (sorted-neighborhood, Hernandez-Stolfo): member at chain rank
+    # r pairs with ranks r+1..r+w. The chain is ordered by CONTENT (norm,
+    # then id for determinism), NOT by random id: similar records must be
+    # window-adjacent, or a small group buried among unrelated members of a
+    # mega key can sit > w apart in a random order and never meet itself
+    # (tests/test_fused_scoring.py::test_chain_content_order_finds_groups
+    # pins the property; test_pipeline_f1 pins clusters-no-worse-than-full-
+    # pairing end to end). Same window partitioning (key) as
+    # keyed_with_stats, so no new shuffle.
     w = cfg.chain_window
+    wc = W.partitionBy("key").orderBy("norm", id_col)
+    mega = mega.withColumn("_cn", F.row_number().over(wc))
     chain_left = mega.withColumn(
-        "_rn2", F.explode(F.sequence(F.col("_rn") + 1, F.col("_rn") + w))
+        "_cn2", F.explode(F.sequence(F.col("_cn") + 1, F.col("_cn") + w))
     )
     mega_pairs = (
-        side(chain_left, 1, extra=("_rn2",))
+        side(chain_left, 1, extra=("_cn2",))
         .join(
-            side(mega.withColumnRenamed("_rn", "_rn2"), 2, extra=("_rn2",)),
-            ["key", "_rn2"],
+            side(mega.withColumnRenamed("_cn", "_cn2"), 2, extra=("_cn2",)),
+            ["key", "_cn2"],
         )
-        .drop("_rn2")
+        .drop("_cn2")
     )
 
     pair_feat = cold_pairs.unionByName(hot_pairs).unionByName(mega_pairs)
     scored = _score_exprs(pair_feat, cfg, use_cosine)
+    # content-ordered chaining no longer guarantees id1 < id2 — canonicalize
+    # (every feature is symmetric in the two sides, so only ids swap)
+    lo, hi = F.least("id1", "id2"), F.greatest("id1", "id2")
+    scored = scored.withColumn("_lo", lo).withColumn("_hi", hi).drop(
+        "id1", "id2"
+    ).withColumnRenamed("_lo", "id1").withColumnRenamed("_hi", "id2")
     keep = ["id1", "id2", "key", "f_lev", "f_jac", "score"] + (
         ["f_cos"] if use_cosine else []
     )

@@ -39,6 +39,32 @@ def test_salted_equals_plain_fused(spark, base):
     assert _pairs(a) == _pairs(b)
 
 
+def test_chain_content_order_finds_groups(spark):
+    """The SNM property: inside one mega key holding many interleaved small
+    groups, content-ordered chaining puts group siblings window-adjacent, so
+    EVERY member meets at least one sibling. (With random-id order, siblings
+    of a 3-member group among 60 unrelated members sit > w apart with high
+    probability and the group never meets itself — the failure mode the
+    content sort exists to prevent.)"""
+    rows = []
+    for g in range(20):
+        for v in range(3):
+            rows.append((f"id{g:02d}_{v}", f"group {g:02d} body variant {v}", ["shared"]))
+    df = spark.createDataFrame(rows, ["rid", "norm", "tokens"]).withColumn(
+        "key", F.lit("mega")
+    )
+    cfg = LinkageConfig(hot_key_threshold=2, mega_key_threshold=4, chain_window=2)
+    scored, klog = fused_block_and_score(df, cfg, persist=False)
+    assert {r["strategy"] for r in klog.collect()} == {"chained"}
+    intra = scored.filter(
+        F.substring("id1", 1, 4) == F.substring("id2", 1, 4)
+    ).select("id1", "id2").collect()
+    met = {r["id1"] for r in intra} | {r["id2"] for r in intra}
+    assert len(met) == 60, f"only {len(met)}/60 members met a sibling"
+    # and the emission stayed linear: 60 members x window 2, not C(60,2)
+    assert scored.count() <= 60 * cfg.chain_window
+
+
 def test_chaining_kicks_in_and_is_linear(spark, base):
     cfg = LinkageConfig(hot_key_threshold=4, mega_key_threshold=8, chain_window=2)
     scored, klog = fused_block_and_score(_kwf(base, cfg), cfg, persist=False)

@@ -55,6 +55,35 @@ def test_pairwise_f1_per_blocking_key(spark, fixture_df, run):
     assert bad.count() == 0, [r.asDict() for r in bad.limit(5).collect()]
 
 
+def _fragmented_groups(run_x, truth) -> set:
+    j = run_x.clusters.select("rid", "cluster_id").join(truth, "rid")
+    frag = (
+        j.filter(F.col("group_id").startswith("g"))
+        .groupBy("group_id")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .filter("n_clusters > 1")
+    )
+    return {r["group_id"] for r in frag.collect()}
+
+
+def test_chained_regime_loses_no_clusters(spark, fixture_df, run):
+    """Force every hot fixture key through sorted-neighborhood chaining (the
+    linear-emission tier a 100 TB run lives in — at 4M synth rows the hot
+    band keys cross this boundary, BASELINE.md round 3): chaining emits ~w
+    pairs per member instead of C(n,2), and the resulting clusters must be
+    no worse than the full-pairing default. (Some fixture groups fragment
+    under EITHER config — the 4th mutation shares no band with its siblings
+    at 800 rows; that is blocking recall, the conditional-on-blocking F1 of
+    BASELINE.json, and is identical across regimes by this test.)"""
+    cfg = LinkageConfig(hot_key_threshold=8, mega_key_threshold=16)
+    run_c = run_linkage(fixture_df.drop("group_id"), cfg)
+    # the chained tier must actually engage, or this test proves nothing
+    strategies = {r["strategy"] for r in run_c.key_drops.collect()}
+    assert "chained" in strategies, strategies
+    truth = _truth(fixture_df)
+    assert _fragmented_groups(run_c, truth) == _fragmented_groups(run, truth)
+
+
 def test_exact_duplicates_cluster_together(spark, fixture_df, run):
     """Whitespace variants normalize identically -> must share a cluster."""
     same_norm = (
