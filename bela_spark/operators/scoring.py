@@ -305,6 +305,10 @@ def fused_block_and_score(
     # pairing end to end). Same window partitioning (key) as
     # keyed_with_stats, so no new shuffle.
     w = cfg.chain_window
+    if w < 1:
+        # F.sequence(_cn+1, _cn+0) would default to step -1 and emit a
+        # self-pair per member — chaining cannot be "off", only bounded
+        raise ValueError(f"chain_window must be >= 1, got {w}")
     wc = W.partitionBy("key").orderBy("norm", id_col)
     mega = mega.withColumn("_cn", F.row_number().over(wc))
     chain_left = mega.withColumn(
@@ -322,15 +326,17 @@ def fused_block_and_score(
     pair_feat = cold_pairs.unionByName(hot_pairs).unionByName(mega_pairs)
     scored = _score_exprs(pair_feat, cfg, use_cosine)
     # content-ordered chaining no longer guarantees id1 < id2 — canonicalize
-    # (every feature is symmetric in the two sides, so only ids swap)
-    lo, hi = F.least("id1", "id2"), F.greatest("id1", "id2")
-    scored = scored.withColumn("_lo", lo).withColumn("_hi", hi).drop(
-        "id1", "id2"
-    ).withColumnRenamed("_lo", "id1").withColumnRenamed("_hi", "id2")
-    keep = ["id1", "id2", "key", "f_lev", "f_jac", "score"] + (
-        ["f_cos"] if use_cosine else []
+    # inside the final projection (every feature is symmetric in the two
+    # sides, so only ids swap)
+    keep = ["key", "f_lev", "f_jac", "score"] + (["f_cos"] if use_cosine else [])
+    return (
+        scored.select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            *keep,
+        ),
+        key_log,
     )
-    return scored.select(*keep), key_log
 
 
 def dedup_scored(scored_by_key: DataFrame) -> DataFrame:

@@ -142,11 +142,27 @@ def read_repo_files_stream(
 ) -> DataFrame:
     """Structured Streaming face of the contract table: files landing in
     `directory` become micro-batches with the same validated, pruned schema —
-    the feed the incremental-linkage loop (streaming/ingest.py) consumes.
-    `max_files_per_trigger` bounds per-batch work (the backpressure knob for a
-    CDC-style drip of repo snapshots)."""
+    the natural feed for an incremental-linkage loop (streaming/ingest.py
+    implements that loop batch-driven today). `max_files_per_trigger` bounds
+    per-batch work (the backpressure knob for a CDC-style drip of repo
+    snapshots)."""
     reader = spark.readStream.schema(_CONTRACT_DDL).format(fmt)
-    if max_files_per_trigger:
+    if fmt == "csv":
+        # same contract options as the batch csv: spec — without them the
+        # header lands as data, quoted multi-line content splits, and
+        # trimming silently breaks the sha256 row invariant
+        reader = (
+            reader.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+        )
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return _validate(reader.load(directory), f"stream:{directory}")
 
@@ -182,7 +198,7 @@ def write_bucketed(
     table: str,
     bucket_col: str = "rid",
     buckets: int = 64,
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Bucketed managed-table sink (co-located joins, SURVEY.md section 4).
 

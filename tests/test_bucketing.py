@@ -13,6 +13,7 @@ from bela_spark.config import LinkageConfig
 from bela_spark.fixtures import synth_repo_files
 from bela_spark.pipeline import prepare_records
 from bela_spark.sources.repo_files import write_bucketed
+from conftest import executed_plan as _plan
 
 
 @pytest.fixture()
@@ -23,14 +24,10 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     rec = prepare_records(synth_repo_files(spark, 300, seed=3), LinkageConfig())
-    write_bucketed(rec.select("rid", "content_sha"), "rf_bucket_a", buckets=4)
-    write_bucketed(rec.select("rid", "lang"), "rf_bucket_b", buckets=4)
+    write_bucketed(rec.select("rid", "content_sha"), "rf_bucket_a", buckets=4, mode="overwrite")
+    write_bucketed(rec.select("rid", "lang"), "rf_bucket_b", buckets=4, mode="overwrite")
     try:
         j = spark.table("rf_bucket_a").join(spark.table("rf_bucket_b"), "rid")
         plan = _plan(j)
@@ -57,7 +54,7 @@ def test_unbucketed_join_shuffles(spark, no_broadcast, tmp_path):
 def test_bucketed_groupby_has_no_exchange(spark, no_broadcast):
     """Aggregation on the bucket key also runs shuffle-free."""
     rec = prepare_records(synth_repo_files(spark, 200, seed=5), LinkageConfig())
-    write_bucketed(rec.select("rid", "lang"), "rf_bucket_g", buckets=4)
+    write_bucketed(rec.select("rid", "lang"), "rf_bucket_g", buckets=4, mode="overwrite")
     try:
         agg = spark.table("rf_bucket_g").groupBy("rid").agg(F.count("*").alias("n"))
         assert "Exchange" not in _plan(agg)

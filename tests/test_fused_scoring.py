@@ -65,6 +65,13 @@ def test_chain_content_order_finds_groups(spark):
     assert scored.count() <= 60 * cfg.chain_window
 
 
+def test_chain_window_zero_rejected(spark, base):
+    """w=0 would make F.sequence count DOWN and emit self-pairs — refuse."""
+    cfg = LinkageConfig(hot_key_threshold=4, mega_key_threshold=8, chain_window=0)
+    with pytest.raises(ValueError, match="chain_window"):
+        fused_block_and_score(_kwf(base, cfg), cfg, persist=False)
+
+
 def test_chaining_kicks_in_and_is_linear(spark, base):
     cfg = LinkageConfig(hot_key_threshold=4, mega_key_threshold=8, chain_window=2)
     scored, klog = fused_block_and_score(_kwf(base, cfg), cfg, persist=False)

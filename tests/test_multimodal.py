@@ -45,6 +45,8 @@ def test_extract_features_matches_local_kernel(spark):
 def test_extract_features_no_shuffle(spark):
     media = synth_media(_docs(spark)).repartition(3)
     out = extract_features(media)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    from conftest import executed_plan
+
+    plan = executed_plan(out)
     assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", "", 1), plan
     assert out.rdd.getNumPartitions() == 3

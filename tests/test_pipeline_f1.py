@@ -81,7 +81,10 @@ def test_chained_regime_loses_no_clusters(spark, fixture_df, run):
     strategies = {r["strategy"] for r in run_c.key_drops.collect()}
     assert "chained" in strategies, strategies
     truth = _truth(fixture_df)
-    assert _fragmented_groups(run_c, truth) == _fragmented_groups(run, truth)
+    # subset, not equality: chaining merging MORE groups than full pairing
+    # (window-adjacent similars, the improvement BASELINE.md measured at
+    # 600k) is allowed — only NEW fragmentation is a regression
+    assert _fragmented_groups(run_c, truth) <= _fragmented_groups(run, truth)
 
 
 def test_exact_duplicates_cluster_together(spark, fixture_df, run):

@@ -11,6 +11,8 @@ import pytest
 
 import __spark_entry__ as entry
 
+from conftest import executed_plan
+
 SF_DIR = "/root/testdata/sf0.001"
 
 # Intentional non-equi joins:
@@ -32,7 +34,7 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 @pytest.mark.parametrize("name", sorted(entry.queries().keys()))
 def test_no_allpairs_join_in_plan(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = executed_plan(df)
     if name in ANCHORS:
         pytest.skip("documented exactness anchor / literal grid")
     for marker in FORBIDDEN:

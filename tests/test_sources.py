@@ -137,6 +137,35 @@ def test_text_format_roundtrip_adversarial(spark, tmp_path, fmt):
     assert got == want
 
 
+def test_stream_csv_keeps_contract_options(spark, tmp_path):
+    """Streaming CSV must apply the same header/multiline/no-trim options as
+    the batch csv: spec, or content silently breaks the sha invariant."""
+    from bela_spark.sources import read_repo_files_stream
+
+    src = read_repo_files(spark, "synth:rows=15")
+    d = str(tmp_path / "csvdrops")
+    (
+        src.write.option("header", True)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(d)
+    )
+    stream = read_repo_files_stream(spark, d, fmt="csv")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rf_csv_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["content"] for r in spark.table("rf_csv_stream_test").collect()}
+    assert got == {r["content"] for r in src.collect()}
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_repo_files_stream(spark, d, max_files_per_trigger=0)
+
+
 def test_table_spec(spark):
     read_repo_files(spark, "synth:rows=50").createOrReplaceTempView("rf_view")
     assert read_repo_files(spark, "table:rf_view").count() == 50
