@@ -26,35 +26,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks at most the
-    # FIRST 50 entries in dict order. Groups, front to back:
-    #   A. queries with no driver row yet (r2's 50-cap cut them) + new in r3;
-    #   B. queries whose semantics changed in r3 (merge ordering, 63-bit
-    #      simhash, winnow df-cap, dense index, LSH asymmetric cap, ks);
+    # FIRST 50 entries in dict order. Round-4 rotation (VERDICT r3 item 1):
+    #   A. r3's group D — 19 queries whose last driver row predates the r3
+    #      merge-order / JW-factory changes to shared helpers; they get
+    #      post-change driver signal this round;
+    #   B. semantics-sensitive families kept in-window (merge ordering,
+    #      simhash, winnow, LSH caps) — these share helpers that round-4
+    #      perf work (two-phase cap, range-partitioned chain) touches;
     #   C. the core ER pipeline + ANN scale paths (fresh signal each round);
-    #   D. rotated out this round — each already has two rounds of green
-    #      driver signal and is still covered by scripts/check_oracles.py.
+    #   D. rotated out this round — r3's group A, every one with a green
+    #      CORRECTNESS_r03 driver row on current semantics and still swept
+    #      by scripts/check_oracles.py each round.
     return {
-        # --- A: first driver signal needed -------------------------------
-        "embed_documents": _q.embed_documents,
-        "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
-        "multimodal_features": _q.multimodal_features,
-        "text_subword_tokens": _q.text_subword_tokens,
-        "el_token_remap": _q.el_token_remap,
-        "catalogue_tokens": _q.catalogue_tokens,
-        "catalogue_entity_truncation": _q.catalogue_entity_truncation,
-        "catalogue_membership": _q.catalogue_membership,
-        "catalogue_type_filter": _q.catalogue_type_filter,
-        "events_hourly_windows": _q.events_hourly_windows,
-        "events_type_stats": _q.events_type_stats,
-        "tpch_pricing_summary": _q.tpch_pricing_summary,
-        "tpch_top_customers": _q.tpch_top_customers,
-        "dedup_simhash_drops": _q.dedup_simhash_drops,
-        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
-        "er_threshold_best": _q.er_threshold_best,
-        "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
-        "ann_ivf_mrr": _q.ann_ivf_mrr,
-        "streaming_incremental_clusters": _q.streaming_incremental_clusters,
-        # --- B: semantics changed in r3 ----------------------------------
+        # --- A: r3's rotated-out 19, back in front ------------------------
+        "text_winnow_fingerprints": _q.text_winnow_fingerprints,
+        "ann_topk": _q.ann_topk,
+        "ann_mrr": _q.ann_mrr,
+        "ann_disambiguation_acc": _q.ann_disambiguation_acc,
+        "el_windows": _q.el_windows,
+        "el_span_f1": _q.el_span_f1,
+        "el_boe_f1": _q.el_boe_f1,
+        "el_context_windows": _q.el_context_windows,
+        "el_topk_spans": _q.el_topk_spans,
+        "el_candidate_spans": _q.el_candidate_spans,
+        "el_span_encodings": _q.el_span_encodings,
+        "el_mention_context": _q.el_mention_context,
+        "el_window_regroup": _q.el_window_regroup,
+        "text_token_stats": _q.text_token_stats,
+        "text_quality": _q.text_quality,
+        "text_langid": _q.text_langid,
+        "text_fingerprint": _q.text_fingerprint,
+        "text_topk_tokens": _q.text_topk_tokens,
+        "catalogue_multilang": _q.catalogue_multilang,
+        # --- B: semantics-sensitive, kept in-window -----------------------
         "el_interval_merge": _q.el_interval_merge,
         "el_detect_f1": _q.el_detect_f1,
         "el_detect_thresholded_f1": _q.el_detect_thresholded_f1,
@@ -87,26 +91,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
-        # --- D: green driver signal already; rotated out ------------------
-        "text_winnow_fingerprints": _q.text_winnow_fingerprints,
-        "ann_topk": _q.ann_topk,
-        "ann_mrr": _q.ann_mrr,
-        "ann_disambiguation_acc": _q.ann_disambiguation_acc,
-        "el_windows": _q.el_windows,
-        "el_span_f1": _q.el_span_f1,
-        "el_boe_f1": _q.el_boe_f1,
-        "el_context_windows": _q.el_context_windows,
-        "el_topk_spans": _q.el_topk_spans,
-        "el_candidate_spans": _q.el_candidate_spans,
-        "el_span_encodings": _q.el_span_encodings,
-        "el_mention_context": _q.el_mention_context,
-        "el_window_regroup": _q.el_window_regroup,
-        "text_token_stats": _q.text_token_stats,
-        "text_quality": _q.text_quality,
-        "text_langid": _q.text_langid,
-        "text_fingerprint": _q.text_fingerprint,
-        "text_topk_tokens": _q.text_topk_tokens,
-        "catalogue_multilang": _q.catalogue_multilang,
+        # --- D: rotated out this round (green r3 driver rows; judge-swept) -
+        "embed_documents": _q.embed_documents,
+        "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
+        "multimodal_features": _q.multimodal_features,
+        "text_subword_tokens": _q.text_subword_tokens,
+        "el_token_remap": _q.el_token_remap,
+        "catalogue_tokens": _q.catalogue_tokens,
+        "catalogue_entity_truncation": _q.catalogue_entity_truncation,
+        "catalogue_membership": _q.catalogue_membership,
+        "catalogue_type_filter": _q.catalogue_type_filter,
+        "events_hourly_windows": _q.events_hourly_windows,
+        "events_type_stats": _q.events_type_stats,
+        "tpch_pricing_summary": _q.tpch_pricing_summary,
+        "tpch_top_customers": _q.tpch_top_customers,
+        "dedup_simhash_drops": _q.dedup_simhash_drops,
+        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
+        "er_threshold_best": _q.er_threshold_best,
+        "ann_ivf_disambiguation_acc": _q.ann_ivf_disambiguation_acc,
+        "ann_ivf_mrr": _q.ann_ivf_mrr,
+        "streaming_incremental_clusters": _q.streaming_incremental_clusters,
     }
 
 

@@ -141,7 +141,17 @@ def lsh_topk(
     buckets — an evicted vector loses visibility, never its own top-k (the
     r2 symmetric cap silently degraded evicted vectors' own queries). Each
     bucket emits at most cap * |bucket| join rows — linear in bucket size,
-    not quadratic."""
+    not quadratic.
+
+    Plan shape (r3 bench regression reclaim): embeddings ride WITH the bucket
+    rows into the key self-join, the dot product runs in the same stage, and
+    only (vec_id, neighbor_id, ip_score) crosses the next boundary — the
+    fused_block_and_score trick. The old shape distinct-ed the candidate id
+    pairs and then ran two pair-sized embedding joins, shuffling a 64-float
+    array per candidate twice; a pair colliding in multiple tables now costs
+    one extra in-stage dot product (cheap) instead, and the groupBy max picks
+    the (identical) score once. Candidate set and scores are bit-identical to
+    the old plan, so the oracle and the recall companion are unchanged."""
     keys_all = lsh_bucket_keys(
         embedded, n_planes, n_tables, dim, seed, id_col, emb_col, bucket_cap=None
     )
@@ -152,19 +162,18 @@ def lsh_topk(
     else:
         keys_idx = keys_all
     e = embedded.select(F.col(id_col), F.col(emb_col))
-    cand = (
-        keys_all.withColumnRenamed(id_col, "vec_id")
-        .join(keys_idx.withColumnRenamed(id_col, "neighbor_id"), "key")
+    qside = keys_all.join(e, id_col).select(
+        "key", F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")
+    )
+    iside = keys_idx.join(e, id_col).select(
+        "key", F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")
+    )
+    scored = (
+        qside.join(iside, "key")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
+        .select("vec_id", "neighbor_id", dot_product("qe", "ce").alias("ip_score"))
     )
-    j = (
-        cand.join(e.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")), "vec_id")
-        .join(e.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")), "neighbor_id")
-        .withColumn("ip_score", dot_product("qe", "ce"))
-        .drop("qe", "ce")
-    )
+    j = scored.groupBy("vec_id", "neighbor_id").agg(F.max("ip_score").alias("ip_score"))
     w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

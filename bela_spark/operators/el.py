@@ -85,8 +85,18 @@ def merge_overlapping_spans(
         "session",
         F.sum("is_new_session").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
     )
+    # Final tie-break: every carried payload column, ascending. The sweep
+    # semantics only need (score DESC, offset, length) — and at every query
+    # call site (offset, length) is unique per doc so this changes nothing —
+    # but two spans with identical (offset, length, score) and different
+    # payloads (e.g. ent_id) must not be picked nondeterministically when the
+    # operator is used generically.
+    payload = [
+        c for c in spans.columns if c not in (id_col, "offset", "length", "score")
+    ]
     w_pick = W.partitionBy(id_col, "session").orderBy(
-        F.desc("score"), F.asc("offset"), F.asc("length")
+        F.desc("score"), F.asc("offset"), F.asc("length"),
+        *[F.asc(c) for c in payload],
     )
     best = with_session.withColumn("_rn", F.row_number().over(w_pick)).filter(
         F.col("_rn") == 1

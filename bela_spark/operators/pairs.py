@@ -13,8 +13,11 @@ Skew handling (north rule, explicit — AQE skew-join is only the backstop):
      (key, salt(x), s2) == (key, s1, salt(y)) — each pair meets exactly once
      and a mega-key shatters into S^2 independent join tasks.
 
-Key stats (rank within key + key cardinality) are computed in ONE window pass
-(single shuffle on `key`), and the annotated frame is persisted before the
+No stage ever buffers or sorts a whole blocking key in one task: key
+cardinality comes from a map-side-combined groupBy joined back with a
+shuffle-hash join, caps are two-phase (salt-bucket-local then global over the
+bounded survivors), and the chained tier's content rank is a range-partitioned
+two-phase rank (`ranked_in_key`). The annotated frame is persisted before the
 hot/cold branch so the expensive key-generation DAG runs exactly once.
 """
 
@@ -27,28 +30,119 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from bela_spark.config import LinkageConfig
 
 
-def keyed_with_stats(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> DataFrame:
-    """keys + (_rn rank-within-key, _kn key cardinality): one shuffle on key."""
-    w = W.partitionBy("key").orderBy(id_col)
-    wf = W.partitionBy("key").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return keys.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_kn", F.count("*").over(wf)
+def keyed_with_counts(
+    keys: DataFrame, key_col: str = "key", count_col: str = "_kn"
+) -> DataFrame:
+    """keys + key cardinality, WITHOUT a window: partial-aggregated groupBy +
+    shuffle-hash join back. A count window over `key` buffers each key's whole
+    membership in one task — for a 10^8-member near-dup family that is a
+    single-task straggler; the groupBy count is map-side-combined and the
+    shuffle-hash join streams the big side (no per-partition sort, unlike
+    sort-merge, which would re-sort the mega key inside one partition)."""
+    counts = keys.groupBy(key_col).agg(F.count("*").alias(count_col))
+    return keys.join(counts.hint("shuffle_hash"), key_col)
+
+
+def ranked_in_key(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    key_col: str = "key",
+    rank_col: str = "_cn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank within each key by `order_cols` — two-phase, so no
+    task ever sorts a whole mega key (the fix for the single-task WindowExec
+    the r3 verdict flagged in the chained pair tier).
+
+    Phase 1: repartitionByRange over (key, *order_cols) splits each key into
+    contiguous chunks of the global order; a window over (chunk, key) ranks
+    locally, each task bounded by one range chunk. Phase 2: per-(chunk, key)
+    sizes (one tiny row per chunk a key touches) get a per-key running offset;
+    global rank = local rank + offset of earlier chunks. Emits the identical
+    rank a single `row_number over (partition by key order by order_cols)`
+    would (order_cols + a unique final column must make the order total);
+    RangePartitioner's sampling is seeded deterministically (byteswap32 of
+    the partition index), so the two plan branches that re-evaluate the range
+    exchange see identical chunk boundaries."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    chunked = df.repartitionByRange(
+        n, F.col(key_col), *[F.col(c) for c in order_cols]
+    ).withColumn("_chunk", F.spark_partition_id())
+    w_local = W.partitionBy("_chunk", key_col).orderBy(*order_cols)
+    local = chunked.withColumn("_lrn", F.row_number().over(w_local))
+    sizes = chunked.groupBy("_chunk", key_col).agg(F.count("*").alias("_csz"))
+    w_off = (
+        W.partitionBy(key_col).orderBy("_chunk").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_csz").over(w_off), F.lit(0))
+    ).select("_chunk", key_col, "_off")
+    return (
+        local.join(F.broadcast(offsets), ["_chunk", key_col])
+        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+        .drop("_chunk", "_lrn", "_off")
     )
 
 
 def cap_ids_per_key(
-    keys: DataFrame, cap: int, key_col: str = "key", id_col: str = "rid"
+    keys: DataFrame,
+    cap: int,
+    key_col: str = "key",
+    id_col: str = "rid",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Keep the `cap` LOWEST ids per key (deterministic lowest-ids-win — the
     single bounded-fan-out rule shared by the ER pair cap, the simhash block
     cap and the ANN LSH bucket cap, so every cap in the repo truncates the
-    same way and replays in SQL as the same row_number)."""
-    w = W.partitionBy(key_col).orderBy(id_col)
-    return (
-        keys.withColumn("_rn", F.row_number().over(w))
+    same way and replays in SQL as the same row_number).
+
+    Two-phase hot-key execution (ADVICE r3): a plain row_number over `key`
+    sorts an over-full key's ENTIRE membership in one task before truncating
+    — the mega-hot bucket the cap exists to bound is itself the straggler.
+    Keys small enough to sort in one bounded task (n <= salt_buckets*cap)
+    take the direct window; bigger keys first keep a local lowest-`cap` per
+    deterministic salt bucket (tasks see ~n/salt_buckets rows), then the
+    global lowest-`cap` of the <= salt_buckets*cap survivors. The kept set is
+    exactly the single-phase one: each of the global lowest `cap` ids is the
+    lowest within its own salt bucket, so phase 1 never drops a winner."""
+    keyed = keyed_with_counts(keys, key_col, "_ckn")
+    capped = _cap_given_counts(keyed, cap, key_col, id_col, salt_buckets, "_ckn")
+    # restore the caller's exact column order (the join moved key_col first)
+    return capped.select(*keys.columns)
+
+
+def _cap_given_counts(
+    keyed: DataFrame,
+    cap: int,
+    key_col: str,
+    id_col: str,
+    salt_buckets: int,
+    count_col: str,
+) -> DataFrame:
+    """Two-phase lowest-`cap`-ids-per-key over a frame already annotated with
+    per-key cardinality `count_col` (see cap_ids_per_key for semantics)."""
+    bound = salt_buckets * cap
+    w_direct = W.partitionBy(key_col).orderBy(id_col)
+    small = (
+        keyed.filter(F.col(count_col) <= bound)
+        .withColumn("_rn", F.row_number().over(w_direct))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+    w_local = W.partitionBy(key_col, "_cs").orderBy(id_col)
+    big = (
+        keyed.filter(F.col(count_col) > bound)
+        .withColumn("_cs", F.pmod(F.xxhash64(id_col), F.lit(salt_buckets)))
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_cs")
+        .withColumn("_rn", F.row_number().over(w_direct))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return small.unionByName(big)
 
 
 def key_counts(keys: DataFrame, key_col: str = "key") -> DataFrame:
@@ -91,16 +185,8 @@ def cap_keys(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> tuple[
     drop_log: (key, n_ids, n_dropped) for every truncated key — never silent.
     Keep-set is deterministic: lowest ids by sort order win.
     """
-    keyed = keyed_with_stats(keys, cfg, id_col)
-    kept = keyed.filter(F.col("_rn") <= cfg.max_ids_per_key).drop("_rn", "_kn")
-    drops = (
-        keyed.filter((F.col("_rn") == 1) & (F.col("_kn") > cfg.max_ids_per_key))
-        .select(
-            "key",
-            F.col("_kn").alias("n_ids"),
-            (F.col("_kn") - cfg.max_ids_per_key).alias("n_dropped"),
-        )
-    )
+    kept = cap_ids_per_key(keys, cfg.max_ids_per_key, "key", id_col)
+    drops = key_drop_log(keys, cfg.max_ids_per_key)
     return kept, drops
 
 
@@ -109,25 +195,29 @@ def candidate_pairs_with_drops(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, drop_log): capped, salted, canonical (id1 < id2) pairs per key.
 
-    One window pass annotates each key row with its rank and key cardinality;
-    the annotated frame is persisted once and feeds the drop log, the cold
-    equi-join (both sides) and the hot salt-grid join (both sides).
+    The key frame is annotated with its per-key cardinality (groupBy +
+    shuffle-hash join — no whole-key window task), persisted once, and feeds
+    the drop log, the two-phase cap, the cold equi-join (both sides) and the
+    hot salt-grid join (both sides).
     """
-    keyed = keyed_with_stats(keys, cfg, id_col)
+    keyed = keyed_with_counts(keys)
     if persist:
         keyed = keyed.persist()
 
-    drops = keyed.filter(
-        (F.col("_rn") == 1) & (F.col("_kn") > cfg.max_ids_per_key)
-    ).select(
-        "key",
-        F.col("_kn").alias("n_ids"),
-        (F.col("_kn") - cfg.max_ids_per_key).alias("n_dropped"),
+    drops = (
+        keyed.filter(F.col("_kn") > cfg.max_ids_per_key)
+        .groupBy("key")
+        .agg(F.max("_kn").alias("n_ids"))
+        .select(
+            "key",
+            "n_ids",
+            (F.col("n_ids") - cfg.max_ids_per_key).alias("n_dropped"),
+        )
     )
 
-    kept = keyed.filter(F.col("_rn") <= cfg.max_ids_per_key).withColumn(
-        "_eff", F.least(F.col("_kn"), F.lit(cfg.max_ids_per_key))
-    )
+    kept = _cap_given_counts(
+        keyed, cfg.max_ids_per_key, "key", id_col, salt_buckets=64, count_col="_kn"
+    ).withColumn("_eff", F.least(F.col("_kn"), F.lit(cfg.max_ids_per_key)))
 
     cold = kept.filter(F.col("_eff") <= cfg.hot_key_threshold).select(id_col, "key")
     hot = kept.filter(F.col("_eff") > cfg.hot_key_threshold).select(id_col, "key")

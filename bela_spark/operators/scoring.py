@@ -15,7 +15,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
@@ -243,21 +243,30 @@ def fused_block_and_score(
     every salted or chained key. Dedup to unique pairs happens after the
     cheap threshold filter (accept_edges) or via dedup_scored().
     """
-    from bela_spark.operators.pairs import keyed_with_stats
+    from bela_spark.operators.pairs import keyed_with_counts, ranked_in_key
 
     feat_cols = ["norm", "tokens"] + (["embedding"] if use_cosine else [])
-    keyed = keyed_with_stats(keys_with_features, cfg, id_col)
+    # cardinality via groupBy + shuffle-hash join (keyed_with_counts): the old
+    # count-window buffered each key's whole membership in one task — the
+    # 10^8-member near-dup family would be a single-task straggler. The join
+    # evaluates the key-gen DAG twice at materialization (counts branch is
+    # column-pruned to `key` only), then the persisted frame feeds every
+    # downstream branch.
+    keyed = keyed_with_counts(keys_with_features)
     if persist:
         keyed = keyed.persist()
 
-    key_log = keyed.filter(
-        (F.col("_rn") == 1) & (F.col("_kn") > cfg.hot_key_threshold)
-    ).select(
-        "key",
-        F.col("_kn").alias("n_ids"),
-        F.when(F.col("_kn") > cfg.mega_key_threshold, F.lit("chained"))
-        .otherwise(F.lit("salted"))
-        .alias("strategy"),
+    key_log = (
+        keyed.filter(F.col("_kn") > cfg.hot_key_threshold)
+        .groupBy("key")
+        .agg(F.max("_kn").alias("n_ids"))
+        .select(
+            "key",
+            "n_ids",
+            F.when(F.col("n_ids") > cfg.mega_key_threshold, F.lit("chained"))
+            .otherwise(F.lit("salted"))
+            .alias("strategy"),
+        )
     )
 
     short = {"norm": "n", "tokens": "t", "embedding": "e"}
@@ -302,15 +311,16 @@ def fused_block_and_score(
     # mega key can sit > w apart in a random order and never meet itself
     # (tests/test_fused_scoring.py::test_chain_content_order_finds_groups
     # pins the property; test_pipeline_f1 pins clusters-no-worse-than-full-
-    # pairing end to end). Same window partitioning (key) as
-    # keyed_with_stats, so no new shuffle.
+    # pairing end to end). The rank is computed by ranked_in_key's two-phase
+    # range-partitioned scheme — NOT a window over `key`, which would sort a
+    # 10^8-member mega key inside one task (r3 verdict, scale-watch item);
+    # tests/test_fused_scoring.py pins rank-equality with the window form.
     w = cfg.chain_window
     if w < 1:
         # F.sequence(_cn+1, _cn+0) would default to step -1 and emit a
         # self-pair per member — chaining cannot be "off", only bounded
         raise ValueError(f"chain_window must be >= 1, got {w}")
-    wc = W.partitionBy("key").orderBy("norm", id_col)
-    mega = mega.withColumn("_cn", F.row_number().over(wc))
+    mega = ranked_in_key(mega, ("norm", id_col), key_col="key", rank_col="_cn")
     chain_left = mega.withColumn(
         "_cn2", F.explode(F.sequence(F.col("_cn") + 1, F.col("_cn") + w))
     )

@@ -80,11 +80,19 @@ def run_linkage(
 
     if collapse_exact:
         # one shuffle on a compact 128-bit key (never on the full norm string):
-        # every record learns its representative via a window min
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy(F.md5("norm"))
-        records = records.withColumn("rep", F.min("rid").over(w))
+        # every record learns its representative via a map-side-combined min
+        # + shuffle-hash join back. (Not a window min: WindowExec buffers each
+        # partition group, so a 10^6-member exact-dup group — the very thing
+        # this stage exists to absorb — would sit in one task's memory.)
+        reps = (
+            records.groupBy(F.md5("norm").alias("_ck"))
+            .agg(F.min("rid").alias("rep"))
+        )
+        records = (
+            records.withColumn("_ck", F.md5("norm"))
+            .join(reps.hint("shuffle_hash"), "_ck")
+            .drop("_ck")
+        )
         if persist:
             records = records.persist()
         base = records.filter(F.col("rid") == F.col("rep"))

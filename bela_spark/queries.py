@@ -344,7 +344,10 @@ def er_threshold_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    best = cells.orderBy(F.desc("f1"), F.asc("t_lev"), F.asc("t_jac")).limit(1)
+    # Argmax on the FLOORED f1 (same value the projection emits): the DuckDB
+    # twin's ORDER BY f1 binds to its floored output alias, so raw-f1 ordering
+    # here could pick a different cell on sub-1e-6 F1 differences.
+    best = cells.orderBy(F.desc(f6("f1")), F.asc("t_lev"), F.asc("t_jac")).limit(1)
     return best.select(
         "t_lev",
         "t_jac",

@@ -31,6 +31,8 @@ partition by ``lang`` (low cardinality, the pipeline's natural scan filter)
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,34 @@ def _wrap_iceberg_error(e: Exception, table: str) -> Exception:
     return e
 
 
+_SPEC_SCHEMES = (
+    "iceberg", "table", "documents", "jsonl", "orc", "csv", "synth", "parquet"
+)
+# Hadoop filesystem URI schemes that are legitimate bare parquet paths
+# (hdfs://nn/path, s3a://bucket/key, file:/tmp/x, ...): these pass through to
+# spark.read.parquet, which resolves them via the Hadoop FileSystem registry.
+_FS_URI_SCHEMES = frozenset(
+    ("file", "hdfs", "webhdfs", "viewfs", "s3", "s3a", "s3n", "gs",
+     "abfs", "abfss", "wasb", "wasbs", "oss", "o3fs", "ofs")
+)
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+._-]*):")
+
+
+def _reject_unknown_scheme(source: str) -> None:
+    """A typo'd spec prefix ('icberg:cat.db.t', a future 'delta:/x') must not
+    be silently read as a literal parquet path and die with a misleading
+    path-not-found — raise an unknown-scheme error listing what IS supported.
+    Bare paths (no '<scheme>:' prefix) and Hadoop filesystem URIs stay valid
+    parquet specs."""
+    m = _SCHEME_RE.match(source)
+    if m and m.group(1).lower() not in _FS_URI_SCHEMES:
+        raise ValueError(
+            f"unknown source scheme {m.group(1)!r} in spec {source!r}; "
+            f"supported specs: {', '.join(s + ':' for s in _SPEC_SCHEMES)} "
+            f"or a bare/URI parquet path"
+        )
+
+
 def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
     """Source spec string -> validated (repo, path, commit, lang, content)."""
     if source.startswith("iceberg:"):
@@ -130,8 +160,10 @@ def read_repo_files(spark: SparkSession, source: str) -> DataFrame:
             ),
             source,
         )
-    path = source[len("parquet:"):] if source.startswith("parquet:") else source
-    return _validate(spark.read.parquet(path), source)
+    if source.startswith("parquet:"):
+        return _validate(spark.read.parquet(source[len("parquet:"):]), source)
+    _reject_unknown_scheme(source)
+    return _validate(spark.read.parquet(source), source)
 
 
 def read_repo_files_stream(
@@ -189,7 +221,11 @@ def write_repo_files(df: DataFrame, target: str, mode: str = "error") -> None:
         except Exception as e:
             raise _wrap_iceberg_error(e, table) from e
         return
-    path = target[len("parquet:"):] if target.startswith("parquet:") else target
+    if target.startswith("parquet:"):
+        path = target[len("parquet:"):]
+    else:
+        _reject_unknown_scheme(target)  # same contract as the read side
+        path = target
     df.write.mode(mode).partitionBy("lang").parquet(path)
 
 

@@ -38,13 +38,23 @@ def main() -> None:
         shuffle_partitions=max(cpus * 2, 32),
     )
 
+    # min-of-N steady state (VERDICT r3): this box's same-code pass-to-pass
+    # noise is documented at up to ±40% (BASELINE.md) — single-pass numbers
+    # are not comparable round-over-round. Each query runs BELA_BENCH_PASSES
+    # times (default 2) and reports the MIN, like bench_scaling.py already
+    # does; pass 1 also absorbs JVM/codegen warmup.
+    passes = max(1, int(os.environ.get("BELA_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best, out = None, None
+        for _ in range(passes):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # 1. flagship: full ER pipeline over the driver documents table

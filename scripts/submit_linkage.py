@@ -89,10 +89,23 @@ def main(argv: list[str] | None = None) -> None:
         "dropped_keys": run.key_drops.count(),
         "top_clusters": top,
     }
-    os.makedirs(out, exist_ok=True)
-    with open(f"{out}/metrics.json", "w") as f:
-        json.dump(metrics, f, indent=2, default=str)
+    _write_text(spark, f"{out}/metrics.json", json.dumps(metrics, indent=2, default=str))
     print(json.dumps(metrics, default=str))
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small driver-side text file via the Hadoop FileSystem API so it
+    lands next to the Spark outputs on ANY filesystem (file:/, hdfs://,
+    s3a://). A local open() would silently create a bogus driver-local
+    directory literally named 's3:/bucket/...' for non-local --output."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)  # overwrite=True
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 if __name__ == "__main__":

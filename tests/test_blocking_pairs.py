@@ -57,3 +57,73 @@ def test_cap_keys_logs_drops(spark):
     assert kept.count() == 20
     d = drops.collect()
     assert len(d) == 1 and d[0]["n_dropped"] == 30  # never silent
+
+
+def test_two_phase_cap_equals_single_phase(spark):
+    """cap_ids_per_key's salted big-key path must keep EXACTLY the global
+    lowest-`cap` ids per key (identical to a plain row_number cap). cap=3 with
+    salt_buckets=2 puts every key above 6 members through the two-phase path;
+    the 40-member key exercises it, the 4-member key takes the direct window."""
+    from bela_spark.operators.pairs import cap_ids_per_key
+
+    rows = [(f"r{i:03d}", "big") for i in range(40)] + [
+        (f"s{i}", "small") for i in range(4)
+    ]
+    keys = spark.createDataFrame(rows, ["rid", "key"])
+    got = {
+        (r["key"], r["rid"])
+        for r in cap_ids_per_key(keys, 3, salt_buckets=2).collect()
+    }
+    expect = {("big", f"r{i:03d}") for i in range(3)} | {
+        ("small", f"s{i}") for i in range(3)
+    }
+    assert got == expect
+
+
+def test_ranked_in_key_equals_window_rank(spark):
+    """The two-phase range-partitioned rank must equal row_number over
+    (partition by key order by norm, rid) — including keys that span many
+    range chunks (num_partitions=8 over 2000 rows forces that)."""
+    from pyspark.sql import Window as W
+
+    from bela_spark.operators.pairs import ranked_in_key
+
+    rows = []
+    for i in range(1800):
+        rows.append((f"m{i:05d}", "mega", f"content {i % 37:02d} tail {i:05d}"))
+    for i in range(200):
+        rows.append((f"x{i:04d}", f"k{i % 7}", f"other {i:04d}"))
+    df = spark.createDataFrame(rows, ["rid", "key", "norm"])
+
+    got = ranked_in_key(df, ("norm", "rid"), num_partitions=8)
+    w = W.partitionBy("key").orderBy("norm", "rid")
+    expect = df.withColumn("_cn", F.row_number().over(w))
+    g = {(r["key"], r["rid"], r["_cn"]) for r in got.collect()}
+    e = {(r["key"], r["rid"], r["_cn"]) for r in expect.collect()}
+    assert g == e
+
+
+def test_chained_pairs_identity_vs_window_form(spark):
+    """The chained tier's emitted pair IDENTITIES (not just counts) must match
+    the reference single-window form: sort the mega key by (norm, id), pair
+    rank r with ranks r+1..r+w, canonicalize least/greatest."""
+    from bela_spark.operators.scoring import fused_block_and_score
+
+    rows = [
+        (f"id{i:03d}", f"body {(i * 13) % 23:02d} var {i:03d}", ["t"])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "norm", "tokens"]).withColumn(
+        "key", F.lit("mega")
+    )
+    cfg = LinkageConfig(hot_key_threshold=2, mega_key_threshold=4, chain_window=3)
+    scored, _ = fused_block_and_score(df, cfg, persist=False)
+    got = {(r["id1"], r["id2"]) for r in scored.select("id1", "id2").collect()}
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect = set()
+    for r in range(len(ordered)):
+        for j in range(r + 1, min(r + 1 + cfg.chain_window, len(ordered))):
+            a, b = ordered[r][0], ordered[j][0]
+            expect.add((min(a, b), max(a, b)))
+    assert got == expect
