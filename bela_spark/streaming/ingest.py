@@ -200,12 +200,26 @@ class IncrementalLinkage:
         ).select("rid", F.col("cluster_id").alias("component"))
         return cc.assignments.unionByName(untouched)
 
-    def start(self, spark: SparkSession, input_dir: str, checkpoint_dir: str):
-        """readStream on a file source -> foreachBatch(process_batch)."""
-        stream = (
-            spark.readStream.schema(REPO_FILES_DDL)
-            .option("maxFilesPerTrigger", 4)
-            .parquet(input_dir)
+    def start(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        checkpoint_dir: str,
+        fmt: str = "parquet",
+        max_files_per_trigger: int = 4,
+    ):
+        """readStream on a file source -> foreachBatch(process_batch).
+
+        The stream face comes from the shared source layer
+        (sources.read_repo_files_stream), so the incremental loop reads the
+        SAME validated, column-pruned contract schema as every batch entry
+        point — including the CSV bytes-exact options when fmt='csv'.
+        tests/test_streaming.py::test_stream_source_face_end_to_end drives
+        this path with real file drops against the batch pipeline."""
+        from bela_spark.sources import read_repo_files_stream
+
+        stream = read_repo_files_stream(
+            spark, input_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger
         )
         return (
             stream.writeStream.foreachBatch(self.process_batch)

@@ -104,3 +104,35 @@ def test_incremental_matches_batch(spark, tmp_path):
 
     assert partitions(streamed) == partitions(batch.clusters)
     df.unpersist()
+
+
+@pytest.mark.slow
+def test_stream_source_face_end_to_end(spark, tmp_path):
+    """VERDICT r3 item 5: the shared source-layer stream face
+    (sources.read_repo_files_stream, now what IncrementalLinkage.start uses)
+    driven end-to-end — three real file drops through readStream ->
+    foreachBatch(process_batch) must converge to the batch pipeline's exact
+    cluster partition over the union."""
+    cfg = LinkageConfig()
+    df = synth_repo_files(spark, 240, seed=7).cache()
+    thirds = [df.limit(80), df.limit(160).subtract(df.limit(80)), df.subtract(df.limit(160))]
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    inc = IncrementalLinkage(str(tmp_path / "state"), cfg)
+    for part in thirds:
+        part.coalesce(1).write.mode("append").parquet(input_dir)
+        q = inc.start(spark, input_dir, str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+
+    streamed = spark.read.parquet(str(tmp_path / "state" / "clusters"))
+    batch = run_linkage(df, cfg, persist=False)
+
+    def partitions(cl):
+        by = {}
+        for r in cl.select("rid", "cluster_id").collect():
+            by.setdefault(r["cluster_id"], set()).add(r["rid"])
+        return {frozenset(v) for v in by.values()}
+
+    assert partitions(streamed) == partitions(batch.clusters)
+    df.unpersist()
