@@ -254,18 +254,24 @@ def ivf_topk(
         embedded, n_cells, n_probes, dim, seed, id_col, emb_col
     ).select(F.col(id_col).alias("vec_id"), "cell")
     e = embedded.select(F.col(id_col), F.col(emb_col))
-    cand = (
-        probe_cells.join(cat_cells, "cell")
+    # embeddings ride WITH the cell rows into the cell join; the dot product
+    # runs in the same stage and only (vec_id, neighbor_id, ip_score) crosses
+    # the next boundary — same shape as lsh_topk (a pair probing 2 shared
+    # cells costs one extra in-stage dot product instead of two pair-sized
+    # array joins after a distinct). Candidates and scores are bit-identical.
+    qside = probe_cells.join(
+        e.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")), "vec_id"
+    )
+    iside = cat_cells.join(
+        e.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")),
+        "neighbor_id",
+    )
+    scored = (
+        qside.join(iside, "cell")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
+        .select("vec_id", "neighbor_id", dot_product("qe", "ce").alias("ip_score"))
     )
-    j = (
-        cand.join(e.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("qe")), "vec_id")
-        .join(e.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ce")), "neighbor_id")
-        .withColumn("ip_score", dot_product("qe", "ce"))
-        .drop("qe", "ce")
-    )
+    j = scored.groupBy("vec_id", "neighbor_id").agg(F.max("ip_score").alias("ip_score"))
     w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -60,16 +60,24 @@ def ranked_in_key(
     sizes (one tiny row per chunk a key touches) get a per-key running offset;
     global rank = local rank + offset of earlier chunks. Emits the identical
     rank a single `row_number over (partition by key order by order_cols)`
-    would (order_cols + a unique final column must make the order total);
-    RangePartitioner's sampling is seeded deterministically (byteswap32 of
-    the partition index), so the two plan branches that re-evaluate the range
-    exchange see identical chunk boundaries."""
+    would (order_cols + a unique final column must make the order total).
+
+    The `_chunk` column is FROZEN by a lazy localCheckpoint before any branch
+    reads it: the ranked frame is consumed by several independent plan
+    branches (the offsets broadcast job and both sides of the chain join),
+    and spark_partition_id is only consistent across those evaluations if the
+    chunk assignment is materialized once — AQE may re-coalesce a re-executed
+    range exchange differently per stage, which would silently misalign ranks
+    between the join sides (caught at 600k rows: the chained tier emitted a
+    different pair set run-to-run before the checkpoint was added)."""
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    chunked = df.repartitionByRange(
-        n, F.col(key_col), *[F.col(c) for c in order_cols]
-    ).withColumn("_chunk", F.spark_partition_id())
+    chunked = (
+        df.repartitionByRange(n, F.col(key_col), *[F.col(c) for c in order_cols])
+        .withColumn("_chunk", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     w_local = W.partitionBy("_chunk", key_col).orderBy(*order_cols)
     local = chunked.withColumn("_lrn", F.row_number().over(w_local))
     sizes = chunked.groupBy("_chunk", key_col).agg(F.count("*").alias("_csz"))
