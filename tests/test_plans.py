@@ -39,3 +39,37 @@ def test_no_allpairs_join_in_plan(spark, name):
         pytest.skip("documented exactness anchor / literal grid")
     for marker in FORBIDDEN:
         assert marker not in plan, f"{name}: {marker} in plan"
+
+
+def test_no_whole_key_content_window_in_pair_stage(spark):
+    """VERDICT r3 item 2 (mechanical form): the chained mega-key tier must not
+    compile to a WindowExec partitioned by the bare blocking key and ordered
+    by content — that shape sorts a 10^8-member near-dup family inside ONE
+    task. The two-phase rank's windows partition by (_chunk, key) (bounded by
+    a range chunk) and the tiny per-chunk offsets window orders by _chunk
+    over a per-(chunk,key) aggregate, never by content.
+
+    The cap windows partitioned by [key] and ordered by the id survive in the
+    plan by design: they run on frames pre-filtered to <= salt_buckets*cap
+    rows per key (two-phase cap), which a textual gate cannot see — the
+    boundedness is pinned by test_two_phase_cap_equals_single_phase instead.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bela_spark.config import LinkageConfig
+    from bela_spark.operators.scoring import fused_block_and_score
+
+    rows = [(f"id{i:03d}", f"body {i:03d}", ["t"]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["rid", "norm", "tokens"]).withColumn(
+        "key", F.lit("mega")
+    )
+    cfg = LinkageConfig(hot_key_threshold=2, mega_key_threshold=4, chain_window=2)
+    scored, _ = fused_block_and_score(df, cfg, persist=False)
+    plan = executed_plan(scored)
+    # Window spec renders as "...], [<partition cols>], [<order cols>]":
+    # a single key#N partition spec whose order starts with norm#N is the
+    # straggler shape
+    bad = re.findall(r"\], \[key#\d+[^\],]*\], \[norm#\d+", plan)
+    assert not bad, f"whole-key content-ordered window in pair-stage plan: {bad}"

@@ -209,3 +209,23 @@ def test_iceberg_spec_fails_actionably(spark):
     """No Iceberg runtime in this sandbox: the error must say how to add it."""
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_repo_files(spark, "iceberg:cat.db.repo_files")
+
+
+def test_unknown_scheme_rejected(spark, tmp_path):
+    """A typo'd or unsupported spec prefix must raise an unknown-scheme error
+    listing the supported specs — not be silently read as a literal parquet
+    path that dies with a misleading path-not-found (ADVICE r3)."""
+    for bad in ("icberg:cat.db.t", "delta:/somewhere", "kafka:topic"):
+        with pytest.raises(ValueError, match="unknown source scheme"):
+            read_repo_files(spark, bad)
+    # the write side enforces the same contract
+    from bela_spark.sources import write_repo_files
+
+    df = read_repo_files(spark, "synth:rows=5")
+    with pytest.raises(ValueError, match="unknown source scheme"):
+        write_repo_files(df, "icberg:cat.db.t")
+    # Hadoop filesystem URIs stay valid bare parquet specs: write + read back
+    # through the explicit file: scheme
+    p = f"file:{tmp_path}/rf_uri"
+    write_repo_files(df, p, mode="overwrite")
+    assert read_repo_files(spark, p).count() == 5
