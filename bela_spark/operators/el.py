@@ -85,14 +85,19 @@ def merge_overlapping_spans(
         "session",
         F.sum("is_new_session").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
     )
-    # Final tie-break: every carried payload column, ascending. The sweep
-    # semantics only need (score DESC, offset, length) — and at every query
-    # call site (offset, length) is unique per doc so this changes nothing —
-    # but two spans with identical (offset, length, score) and different
-    # payloads (e.g. ent_id) must not be picked nondeterministically when the
-    # operator is used generically.
+    # Final tie-break: every carried ORDERABLE payload column, ascending. The
+    # sweep semantics only need (score DESC, offset, length) — and at every
+    # query call site (offset, length) is unique per doc so this changes
+    # nothing — but two spans with identical (offset, length, score) and
+    # different payloads (e.g. ent_id) must not be picked nondeterministically
+    # when the operator is used generically. Map-typed columns are skipped:
+    # Spark cannot order on maps, and including one would fail the whole
+    # merge at plan time.
     payload = [
-        c for c in spans.columns if c not in (id_col, "offset", "length", "score")
+        c
+        for c, t in spans.dtypes
+        if c not in (id_col, "offset", "length", "score")
+        and not t.startswith("map")
     ]
     w_pick = W.partitionBy(id_col, "session").orderBy(
         F.desc("score"), F.asc("offset"), F.asc("length"),

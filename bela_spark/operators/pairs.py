@@ -114,7 +114,14 @@ def cap_ids_per_key(
     deterministic salt bucket (tasks see ~n/salt_buckets rows), then the
     global lowest-`cap` of the <= salt_buckets*cap survivors. The kept set is
     exactly the single-phase one: each of the global lowest `cap` ids is the
-    lowest within its own salt bucket, so phase 1 never drops a winner."""
+    lowest within its own salt bucket, so phase 1 never drops a winner.
+
+    Cost note: the counts join evaluates the un-persisted input DAG twice
+    (counts branch + probe side) where the old single window paid one pass —
+    that is deliberate: the recompute is parallel CPU (the counts branch is
+    column-pruned to the key), while the window's buffering was a single-task
+    memory bound. Callers for whom the input DAG is expensive and reused can
+    persist it first."""
     keyed = keyed_with_counts(keys, key_col, "_ckn")
     capped = _cap_given_counts(keyed, cap, key_col, id_col, salt_buckets, "_ckn")
     # restore the caller's exact column order (the join moved key_col first)

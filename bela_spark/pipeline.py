@@ -84,12 +84,13 @@ def run_linkage(
         # + shuffle-hash join back. (Not a window min: WindowExec buffers each
         # partition group, so a 10^6-member exact-dup group — the very thing
         # this stage exists to absorb — would sit in one task's memory.)
-        reps = (
-            records.groupBy(F.md5("norm").alias("_ck"))
-            .agg(F.min("rid").alias("rep"))
-        )
+        # The key is null-coalesced: an equi-join drops null keys where the
+        # old window kept a null partition, and every input row must keep its
+        # cluster_id. "\0" cannot collide with md5's hex output.
+        ck = F.coalesce(F.md5("norm"), F.lit("\0"))
+        reps = records.groupBy(ck.alias("_ck")).agg(F.min("rid").alias("rep"))
         records = (
-            records.withColumn("_ck", F.md5("norm"))
+            records.withColumn("_ck", ck)
             .join(reps.hint("shuffle_hash"), "_ck")
             .drop("_ck")
         )

@@ -1022,9 +1022,14 @@ def el_mention_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_exact_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 (in-batch dedup + remap, joint_el_task.py batch dedup analogue):
     every doc mapped to its exact-content keeper (min doc_id per sha)."""
-    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("sha"))
     # groupBy min + join back, not a window min: an exact-dup group can be
-    # arbitrarily large and a whole-group window buffers it in one task
+    # arbitrarily large and a whole-group window buffers it in one task.
+    # sha is null-coalesced ("\0" can't collide with hex): a null-text doc
+    # must keep its row — an equi-join drops null keys where a window kept
+    # the null partition (DuckDB's window groups nulls together too).
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.sha2("text", 256), F.lit("\0")).alias("sha")
+    )
     keepers = d.groupBy("sha").agg(F.min("doc_id").alias("keeper"))
     out = d.join(keepers.hint("shuffle_hash"), "sha")
     return out.select(

@@ -102,17 +102,20 @@ _FS_URI_SCHEMES = frozenset(
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+._-]*):")
 
 
-def _reject_unknown_scheme(source: str) -> None:
+def _reject_unknown_scheme(
+    source: str, supported: tuple[str, ...] = _SPEC_SCHEMES
+) -> None:
     """A typo'd spec prefix ('icberg:cat.db.t', a future 'delta:/x') must not
     be silently read as a literal parquet path and die with a misleading
-    path-not-found — raise an unknown-scheme error listing what IS supported.
-    Bare paths (no '<scheme>:' prefix) and Hadoop filesystem URIs stay valid
-    parquet specs."""
+    path-not-found — raise an unknown-scheme error listing what IS supported
+    (the WRITE side passes its own, smaller list — the read-spec list would
+    be self-contradictory there). Bare paths (no '<scheme>:' prefix) and
+    Hadoop filesystem URIs stay valid parquet specs."""
     m = _SCHEME_RE.match(source)
     if m and m.group(1).lower() not in _FS_URI_SCHEMES:
         raise ValueError(
             f"unknown source scheme {m.group(1)!r} in spec {source!r}; "
-            f"supported specs: {', '.join(s + ':' for s in _SPEC_SCHEMES)} "
+            f"supported specs: {', '.join(s + ':' for s in supported)} "
             f"or a bare/URI parquet path"
         )
 
@@ -224,7 +227,8 @@ def write_repo_files(df: DataFrame, target: str, mode: str = "error") -> None:
     if target.startswith("parquet:"):
         path = target[len("parquet:"):]
     else:
-        _reject_unknown_scheme(target)  # same contract as the read side
+        # same contract as the read side, but listing only WRITE targets
+        _reject_unknown_scheme(target, supported=("iceberg", "parquet"))
         path = target
     df.write.mode(mode).partitionBy("lang").parquet(path)
 

@@ -33,8 +33,6 @@ from bela_spark.operators.cc import connected_components
 from bela_spark.operators.scoring import fused_block_and_score
 from bela_spark.pipeline import prepare_records
 
-REPO_FILES_DDL = "repo string, path string, commit string, lang string, content string"
-
 
 class IncrementalLinkage:
     """foreachBatch driver state: parquet-backed record/edge/cluster tables."""

@@ -50,6 +50,11 @@ def main() -> None:
     def timed(name, fn):
         best, out = None, None
         for _ in range(passes):
+            # each pass starts cache-clean: run_linkage persists frames it has
+            # no handle to unpersist (internal keyed frame, pre-collapse
+            # records), and pass 2 measuring under pass 1's leaked caches
+            # would skew the very steady-state the min exists to capture
+            spark.catalog.clearCache()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0

@@ -76,8 +76,13 @@ def test_content_change_invalidates_old_edges(spark, tmp_path):
 def test_incremental_matches_batch(spark, tmp_path):
     cfg = LinkageConfig()
     df = synth_repo_files(spark, 300, seed=42).cache()
-    half1 = df.limit(150)
-    half2 = df.subtract(half1)
+    from pyspark.sql import functions as F
+
+    # deterministic split (limit/subtract without an order is per-evaluation
+    # nondeterministic — same hazard fixed in the three-drop test below)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    half1 = df.filter(bucket == 0)
+    half2 = df.filter(bucket == 1)
 
     input_dir = str(tmp_path / "in")
     os.makedirs(input_dir)
@@ -113,9 +118,14 @@ def test_stream_source_face_end_to_end(spark, tmp_path):
     driven end-to-end — three real file drops through readStream ->
     foreachBatch(process_batch) must converge to the batch pipeline's exact
     cluster partition over the union."""
+    from pyspark.sql import functions as F
+
     cfg = LinkageConfig()
     df = synth_repo_files(spark, 240, seed=7).cache()
-    thirds = [df.limit(80), df.limit(160).subtract(df.limit(80)), df.subtract(df.limit(160))]
+    # deterministic 3-way split on a computed column: limit()/subtract()
+    # without an order can resolve to different row sets per evaluation
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    thirds = [df.filter(bucket == i) for i in range(3)]
 
     input_dir = str(tmp_path / "in")
     os.makedirs(input_dir)
