@@ -451,6 +451,43 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, band::BIGINT AS band, band_key FROM bands",
         "er_candidate_pairs": f"WITH {_PAIRS} "
         + "SELECT id1, id2, key FROM cpairs",
+        # chained tier (hot=2, mega=3, w=2): keys with 2..3 members pair
+        # fully (salt grid == full pairing); keys above 3 chain — rank by
+        # (64-char norm prefix, doc_id), rank r pairs with r+1..r+2. The
+        # row_number window here is the single-window reference form of the
+        # engine's two-phase range-partitioned rank.
+        "er_chained_pairs": f"WITH {_KEYS} "
+        + """,
+            kcnt AS (SELECT key, count(*) AS n FROM keys GROUP BY key),
+            full_k AS (
+              SELECT k.doc_id, k.key FROM keys k JOIN kcnt USING (key)
+              WHERE n BETWEEN 2 AND 3
+            ),
+            fpairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, a.key AS key
+              FROM full_k a JOIN full_k b USING (key)
+              WHERE a.doc_id < b.doc_id
+            ),
+            chain_k AS (
+              SELECT k.doc_id, k.key, substr(r.norm, 1, 64) AS norm64
+              FROM keys k JOIN kcnt USING (key) JOIN recs r USING (doc_id)
+              WHERE n > 3
+            ),
+            ranked AS (
+              SELECT doc_id, key, row_number() OVER (
+                PARTITION BY key ORDER BY norm64, doc_id) AS cn
+              FROM chain_k
+            ),
+            chpairs AS (
+              SELECT least(a.doc_id, b.doc_id) AS id1,
+                     greatest(a.doc_id, b.doc_id) AS id2, a.key AS key
+              FROM ranked a JOIN ranked b
+                ON a.key = b.key AND b.cn BETWEEN a.cn + 1 AND a.cn + 2
+            )
+            SELECT DISTINCT id1, id2, key FROM (
+              SELECT * FROM fpairs UNION ALL SELECT * FROM chpairs
+            )
+        """,
         "er_key_drops": f"WITH {_BASE} "
         + """,
             ckeys AS (

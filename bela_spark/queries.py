@@ -131,6 +131,36 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", "key").distinct()
 
 
+def er_chained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 chained tier, oracle-exposed: the production three-tier pair stage
+    with thresholds lowered (hot=2, mega=3, w=2) so the sorted-neighborhood
+    chain ENGAGES at every driver scale (the biggest documents-table key has
+    4-5 members at sf0.001/0.01) — at the default thresholds no key is big
+    enough, leaving the most scale-critical code path (ranked_in_key's
+    two-phase range-partitioned rank, scoring.py chain join) outside the SQL
+    gate. Chain semantics (Hernandez-Stolfo): members of a key above the
+    mega threshold rank by content (64-char norm prefix, then doc_id); rank
+    r pairs with ranks r+1..r+w; ids canonicalize least/greatest. With w=2 a
+    4-member chain emits 5 of the 6 full pairs, so the oracle DISTINGUISHES
+    chaining from full pairing. Keys at or below the mega threshold pair
+    fully (the salt grid never changes the pair set). The DuckDB twin
+    replays the rank as a row_number window, so every rank the two-phase
+    implementation assigns is value-checked against the single-window
+    form."""
+    from bela_spark.operators.scoring import fused_block_and_score
+
+    cfg = LinkageConfig(hot_key_threshold=2, mega_key_threshold=3, chain_window=2)
+    keys = _all_keys(spark, sf_dir)
+    recs = _records(spark, sf_dir).select(
+        "doc_id",
+        F.substring("norm", 1, cfg.lev_max_chars).alias("norm"),
+        F.array_distinct("tokens").alias("tokens"),
+    )
+    kwf = keys.join(recs, "doc_id")
+    scored, _ = fused_block_and_score(kwf, cfg, id_col="doc_id", persist=False)
+    return scored.select("id1", "id2", "key").distinct()
+
+
 # Deliberately coarse blocking (first normalized token) exercises the per-key
 # cap with real drops at every sf — the never-silent-truncation rule as a
 # first-class, oracle-visible query.
