@@ -38,8 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      CORRECTNESS_r03 driver row on current semantics and still swept
     #      by scripts/check_oracles.py each round.
     return {
-        # --- A0: NEW in r4 — the chained SNM tier, oracle-exposed ---------
+        # --- A0: NEW in r4 — chained SNM tier + two-phase cap big path,
+        #     oracle-exposed (their at-scale regimes forced at fixture scale)
         "er_chained_pairs": _q.er_chained_pairs,
+        "er_capped_keys": _q.er_capped_keys,
         # --- A: r3's rotated-out 19, back in front ------------------------
         "text_winnow_fingerprints": _q.text_winnow_fingerprints,
         "ann_topk": _q.ann_topk,

@@ -497,6 +497,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, n::BIGINT AS n_ids, (n - 8)::BIGINT AS n_dropped
             FROM g WHERE n > 8
         """,
+        # one-window reference form of the engine's two-phase (salt-bucketed)
+        # cap: the kept set is the global lowest-3 per key either way
+        "er_capped_keys": f"WITH {_BASE} "
+        + """,
+            ckeys AS (
+              SELECT doc_id, 'tok1:' || t[1] AS key FROM toks WHERE len(t) > 0
+            ),
+            rk AS (
+              SELECT doc_id, key, row_number() OVER (
+                PARTITION BY key ORDER BY doc_id) AS rn
+              FROM ckeys
+            )
+            SELECT doc_id, key FROM rk WHERE rn <= 3
+        """,
         "er_scored_pairs": f"WITH {_SCORED} "
         + """
             SELECT id1, id2,

@@ -161,6 +161,27 @@ def er_chained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("id1", "id2", "key").distinct()
 
 
+def er_capped_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase hot-key cap, oracle-exposed: coarse first-token keys capped
+    to their 3 lowest doc_ids with salt_buckets=2, so every key above 6
+    members takes the salted big-key path (phase 1: lowest-3 per xxhash64
+    salt bucket; phase 2: global lowest-3 of the survivors) at every fixture
+    scale — at the defaults (salt_buckets=64) the big path needs >64*cap
+    members and is pytest-only. The kept set is provably the plain lowest-3
+    regardless of the salt function (each global winner is the lowest in its
+    own bucket), which is exactly what the DuckDB twin's row_number replays —
+    so the two-phase execution is value-checked against the one-window
+    form."""
+    from bela_spark.operators.pairs import cap_ids_per_key
+
+    r = _records(spark, sf_dir)
+    coarse = r.filter(F.size("tokens") > 0).select(
+        "doc_id", F.concat(F.lit("tok1:"), F.element_at("tokens", 1)).alias("key")
+    )
+    capped = cap_ids_per_key(coarse, 3, key_col="key", id_col="doc_id", salt_buckets=2)
+    return capped.select("doc_id", "key")
+
+
 # Deliberately coarse blocking (first normalized token) exercises the per-key
 # cap with real drops at every sf — the never-silent-truncation rule as a
 # first-class, oracle-visible query.
