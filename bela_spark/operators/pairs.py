@@ -69,7 +69,10 @@ def ranked_in_key(
     chunk assignment is materialized once — AQE may re-coalesce a re-executed
     range exchange differently per stage, which would silently misalign ranks
     between the join sides (caught at 600k rows: the chained tier emitted a
-    different pair set run-to-run before the checkpoint was added)."""
+    different pair set run-to-run before the checkpoint was added).
+    localCheckpoint stores to executor-local blocks: an executor loss fails
+    the job (never corrupts ranks) — on a cluster where that risk matters,
+    set a reliable checkpoint dir upstream or persist+recompute."""
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
