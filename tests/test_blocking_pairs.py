@@ -127,3 +127,33 @@ def test_chained_pairs_identity_vs_window_form(spark):
             a, b = ordered[r][0], ordered[j][0]
             expect.add((min(a, b), max(a, b)))
     assert got == expect
+
+
+def test_ranked_in_key_all_ties_split_across_chunks(spark):
+    """Adversarial mega key: every member shares an IDENTICAL norm (e.g. a
+    64-char-prefix tie block), so the range partitioner can only separate
+    rows by the trailing unique id — the id being part of the range key is
+    what stops the whole tie block landing in one chunk. Ranks must still
+    equal the single-window form."""
+    from pyspark.sql import Window as W
+
+    from bela_spark.operators.pairs import ranked_in_key
+
+    df = spark.createDataFrame(
+        [(f"r{i:05d}", "mega", "same prefix") for i in range(20000)],
+        ["rid", "key", "norm"],
+    )
+    got = ranked_in_key(df, ("norm", "rid"), num_partitions=8)
+    w = W.partitionBy("key").orderBy("norm", "rid")
+    exp = df.withColumn("_w", F.row_number().over(w))
+    joined = got.join(exp.select("rid", "_w"), "rid")
+    assert joined.filter(F.col("_cn") != F.col("_w")).count() == 0
+    # and the tie block genuinely spanned multiple chunks (non-vacuous):
+    # re-derive the chunk spread from the range partitioning itself
+    n_chunks = (
+        df.repartitionByRange(8, F.col("key"), F.col("norm"), F.col("rid"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 1, "tie block collapsed into one range chunk"
