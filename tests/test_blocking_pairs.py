@@ -157,3 +157,50 @@ def test_ranked_in_key_all_ties_split_across_chunks(spark):
         .count()
     )
     assert n_chunks > 1, "tie block collapsed into one range chunk"
+
+
+def test_cap_and_rank_match_python_reference(spark):
+    """Seeded randomized cases (skewed key sizes, heavy norm ties) checked
+    against a plain-Python reference for both two-phase primitives: the cap
+    must keep exactly the lowest-`cap` ids per key, the rank must equal the
+    per-key (norm, rid) sort index — independently recomputed, not via
+    another Spark window."""
+    import random
+
+    from bela_spark.operators.pairs import cap_ids_per_key, ranked_in_key
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        rows = []
+        for k in range(rnd.randint(2, 5)):
+            size = rnd.choice([1, 3, 7, 40, 130])
+            for i in rnd.sample(range(100000), size):
+                rows.append((f"r{i:06d}", f"k{k}", f"n{rnd.randint(0, 5):02d}"))
+        df = spark.createDataFrame(rows, ["rid", "key", "norm"])
+        cap, salt = rnd.choice([2, 5]), rnd.choice([2, 4])
+
+        got_cap = {
+            (r["key"], r["rid"])
+            for r in cap_ids_per_key(df, cap, salt_buckets=salt).collect()
+        }
+        by_key = {}
+        for rid, key, norm in rows:
+            by_key.setdefault(key, []).append((rid, norm))
+        exp_cap = {
+            (key, rid)
+            for key, members in by_key.items()
+            for rid, _ in sorted(members)[:cap]
+        }
+        assert got_cap == exp_cap
+
+        got_rank = {
+            (r["key"], r["rid"]): r["_cn"]
+            for r in ranked_in_key(df, ("norm", "rid"), num_partitions=4).collect()
+        }
+        exp_rank = {}
+        for key, members in by_key.items():
+            for idx, (rid, norm) in enumerate(
+                sorted(members, key=lambda m: (m[1], m[0]))
+            ):
+                exp_rank[(key, rid)] = idx + 1
+        assert got_rank == exp_rank
