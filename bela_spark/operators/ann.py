@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from bela_spark.functions.vectors import dot_product

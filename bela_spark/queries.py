@@ -20,8 +20,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.hashing import band_keys, minhash_signatures, minhash_wide, simhash_fp
-from bela_spark.functions.text import LANGID_STOPWORDS, normalized, shingles_of, tokens_of
-from bela_spark.functions.vectors import dot_product, embed_text
+from bela_spark.functions.text import normalized, shingles_of, tokens_of
+from bela_spark.functions.vectors import embed_text
 from bela_spark.operators import el as el_ops
 from bela_spark.operators import textops
 from bela_spark.operators.ann import (
