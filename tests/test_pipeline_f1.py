@@ -149,3 +149,21 @@ def test_batched_scoring_matches_sql_path(spark, fixture_df):
         # threshold; the batched cosine path gates at a lower level)
         if jac >= 0.25:
             assert lev == pytest.approx(sb[k][0])
+
+
+def test_null_content_rows_keep_their_cluster_rows(spark):
+    """Review regression gate: a null-content row must keep its cluster_id
+    through BOTH collapse modes — the exact-collapse representative and the
+    exact-remap keeper are equi-joins on a content hash, and an un-coalesced
+    null key would silently drop the row (a window kept a null partition)."""
+    cols = ["repo", "path", "commit", "lang", "content"]
+    rows = [
+        ("r", "a.py", "c1", "py", "def f(): return 1"),
+        ("r", "b.py", "c1", "py", "def f(): return 1"),
+        ("r", "c.py", "c1", "py", None),
+        ("r", "d.py", "c1", "py", None),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    for collapse in (False, True):
+        run = run_linkage(df, LinkageConfig(), persist=False, collapse_exact=collapse)
+        assert run.clusters.count() == 4, f"collapse_exact={collapse} dropped rows"
