@@ -93,9 +93,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_grid_2d": _q.er_threshold_grid_2d,
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
+        # --- D: rotated out this round (green r3 driver rows; judge-swept) -
+        # ann_ivf_topk/ann_ivf_recall yield their window slots to the two new
+        # A0 regime queries this round: both have green r3 driver rows, their
+        # shared machinery (cell assignment, fused rerank) is exercised
+        # in-window by ann_lsh_* (same join shape since r4), and the full
+        # check_oracles sweep still value-checks them every round.
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
-        # --- D: rotated out this round (green r3 driver rows; judge-swept) -
         "embed_documents": _q.embed_documents,
         "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
         "multimodal_features": _q.multimodal_features,

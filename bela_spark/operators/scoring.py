@@ -249,13 +249,12 @@ def fused_block_and_score(
     # cardinality via groupBy + shuffle-hash join (keyed_with_counts): the old
     # count-window buffered each key's whole membership in one task — the
     # 10^8-member near-dup family would be a single-task straggler. The join
-    # has two branches over the input (counts + probe), so the input is
-    # persisted too: without it the expensive key-gen DAG (minhash bands over
-    # every shingle) runs twice at materialization. The joined frame is also
-    # persisted — it feeds six downstream branch reads (cold/hot/mega x two
-    # join sides) plus the key log.
-    if persist:
-        keys_with_features = keys_with_features.persist()
+    # has two branches over the input (counts + probe), so callers whose
+    # key-gen DAG is expensive should persist the input themselves AND keep
+    # the handle to unpersist it once this joined frame is materialized
+    # (run_linkage does exactly that via LinkageRun.keys_features) — an
+    # unconditional persist here would be an unreleasable second cache of
+    # the pair stage for the life of the session.
     keyed = keyed_with_counts(keys_with_features)
     if persist:
         keyed = keyed.persist()

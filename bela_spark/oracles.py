@@ -218,6 +218,12 @@ keys AS (
 )
 """
 
+# coarse first-token blocking shared by er_key_drops and er_capped_keys —
+# single definition, mirroring queries._coarse_tok1_keys
+_CKEYS = """ckeys AS (
+  SELECT doc_id, 'tok1:' || t[1] AS key FROM toks WHERE len(t) > 0
+)"""
+
 # per-key cap replaying operators.pairs.candidate_pairs_with_drops (lowest
 # doc_ids per key win; the salt grid never changes the pair set, so the
 # capped equi-join IS the full oracle of the salted plan)
@@ -488,22 +494,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM fpairs UNION ALL SELECT * FROM chpairs
             )
         """,
-        "er_key_drops": f"WITH {_BASE} "
+        "er_key_drops": f"WITH {_BASE}, {_CKEYS} "
         + """,
-            ckeys AS (
-              SELECT doc_id, 'tok1:' || t[1] AS key FROM toks WHERE len(t) > 0
-            ),
             g AS (SELECT key, count(*) AS n FROM ckeys GROUP BY key)
             SELECT key, n::BIGINT AS n_ids, (n - 8)::BIGINT AS n_dropped
             FROM g WHERE n > 8
         """,
         # one-window reference form of the engine's two-phase (salt-bucketed)
         # cap: the kept set is the global lowest-3 per key either way
-        "er_capped_keys": f"WITH {_BASE} "
+        "er_capped_keys": f"WITH {_BASE}, {_CKEYS} "
         + """,
-            ckeys AS (
-              SELECT doc_id, 'tok1:' || t[1] AS key FROM toks WHERE len(t) > 0
-            ),
             rk AS (
               SELECT doc_id, key, row_number() OVER (
                 PARTITION BY key ORDER BY doc_id) AS rn

@@ -41,6 +41,8 @@ class LinkageRun:
     edges: DataFrame          # id1, id2 accepted
     cc: CCResult
     clusters: DataFrame       # records + cluster_id
+    keys_features: DataFrame = None  # pair-stage input (persisted when
+                                     # persist=True — unpersist with records)
 
 
 def prepare_records(
@@ -128,6 +130,13 @@ def run_linkage(
     keys_with_features = keys.join(
         base.select("rid", *[_slim(c) for c in feature_cols]), "rid"
     )
+    if persist:
+        # the counts join inside fused_block_and_score reads this frame
+        # twice at materialization; cache it and KEEP THE HANDLE
+        # (LinkageRun.keys_features) so callers can release it — an
+        # anonymous persist would be dead weight once the joined frame
+        # is cached
+        keys_with_features = keys_with_features.persist()
     scored_by_key, drops = fused_block_and_score(
         keys_with_features, cfg, use_cosine=use_embeddings, persist=persist
     )
@@ -160,7 +169,8 @@ def run_linkage(
     else:
         clusters = assign_clusters(records, cc.assignments)
     return LinkageRun(
-        records, keys, drops, pairs, scored_by_key, scored, edges, cc, clusters
+        records, keys, drops, pairs, scored_by_key, scored, edges, cc, clusters,
+        keys_features=keys_with_features,
     )
 
 

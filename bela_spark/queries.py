@@ -161,6 +161,17 @@ def er_chained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("id1", "id2", "key").distinct()
 
 
+def _coarse_tok1_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 'tok1:'||first-token): the deliberately coarse blocking used
+    by er_key_drops and er_capped_keys — one definition, mirrored by ONE
+    shared CTE in oracles (_CKEYS), so the engine and both oracles cannot
+    drift apart."""
+    r = _records(spark, sf_dir)
+    return r.filter(F.size("tokens") > 0).select(
+        "doc_id", F.concat(F.lit("tok1:"), F.element_at("tokens", 1)).alias("key")
+    )
+
+
 def er_capped_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase hot-key cap, oracle-exposed: coarse first-token keys capped
     to their 3 lowest doc_ids with salt_buckets=2, so every key above 6
@@ -174,10 +185,7 @@ def er_capped_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     form."""
     from bela_spark.operators.pairs import cap_ids_per_key
 
-    r = _records(spark, sf_dir)
-    coarse = r.filter(F.size("tokens") > 0).select(
-        "doc_id", F.concat(F.lit("tok1:"), F.element_at("tokens", 1)).alias("key")
-    )
+    coarse = _coarse_tok1_keys(spark, sf_dir)
     capped = cap_ids_per_key(coarse, 3, key_col="key", id_col="doc_id", salt_buckets=2)
     return capped.select("doc_id", "key")
 
@@ -194,10 +202,7 @@ def er_key_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference bounds: num_cand_mentions=50, joint_el_task.py:800-802)."""
     from bela_spark.operators.pairs import cap_keys
 
-    r = _records(spark, sf_dir)
-    coarse = r.filter(F.size("tokens") > 0).select(
-        "doc_id", F.concat(F.lit("tok1:"), F.element_at("tokens", 1)).alias("key")
-    )
+    coarse = _coarse_tok1_keys(spark, sf_dir)
     _, drops = cap_keys(coarse, LinkageConfig(max_ids_per_key=DROPS_CAP), id_col="doc_id")
     return drops.select(
         "key",

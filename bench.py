@@ -95,6 +95,7 @@ def main() -> None:
         extras["n_chained_keys"] = strat.get("chained", 0)
         run.records.unpersist()
         run.scored.unpersist()
+        run.keys_features.unpersist()
         return n_pairs
 
     n_pairs = timed("linkage_end_to_end", _linkage)

@@ -147,6 +147,9 @@ def test_ranked_in_key_all_ties_split_across_chunks(spark):
     w = W.partitionBy("key").orderBy("norm", "rid")
     exp = df.withColumn("_w", F.row_number().over(w))
     joined = got.join(exp.select("rid", "_w"), "rid")
+    # row-count first: a dropped chunk would shrink the inner join and make
+    # the zero-mismatch assert below pass vacuously
+    assert joined.count() == 20000
     assert joined.filter(F.col("_cn") != F.col("_w")).count() == 0
     # and the tie block genuinely spanned multiple chunks (non-vacuous):
     # re-derive the chunk spread from the range partitioning itself
