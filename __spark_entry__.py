@@ -26,23 +26,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks at most the
-    # FIRST 50 entries in dict order. Round-4 rotation (VERDICT r3 item 1):
-    #   A. r3's group D — 19 queries whose last driver row predates the r3
-    #      merge-order / JW-factory changes to shared helpers; they get
-    #      post-change driver signal this round;
-    #   B. semantics-sensitive families kept in-window (merge ordering,
-    #      simhash, winnow, LSH caps) — these share helpers that round-4
-    #      perf work (two-phase cap, range-partitioned chain) touches;
+    # FIRST 50 entries in dict order. Round-5 rotation (VERDICT r4 item 1b —
+    # "rotate forward whatever touched changed machinery"):
+    #   A0. queries whose machinery was rewritten in r4 but sat OUTSIDE the
+    #       r4 window (ann_ivf_* got the fused cell join; the drop logs got
+    #       the rewritten shared cap/drop-log helpers), plus the two at-scale
+    #       regime queries — this round also rewrites ranked_in_key (data-
+    #       derived chunks), keyed_with_counts (null-safe join) and the
+    #       candidate-pair feature riding, all exercised by A0/B/C below;
+    #   A. queries sharing helpers with round-recent changes, kept in;
+    #   B. semantics-sensitive families kept in-window (merge ordering —
+    #      el.py's orderability filter changed this round — simhash, winnow,
+    #      LSH caps);
     #   C. the core ER pipeline + ANN scale paths (fresh signal each round);
-    #   D. rotated out this round — r3's group A, every one with a green
-    #      CORRECTNESS_r03 driver row on current semantics and still swept
-    #      by scripts/check_oracles.py each round.
+    #   D. rotated out — every entry has >= 2 green driver rows on current
+    #      semantics (text_* x4 newly rotated out: green r2+r4, textops.py
+    #      untouched since) and is still swept by scripts/check_oracles.py.
     return {
-        # --- A0: NEW in r4 — chained SNM tier + two-phase cap big path,
-        #     oracle-exposed (their at-scale regimes forced at fixture scale)
+        # --- A0: r4-rewritten machinery + forced at-scale regimes ---------
+        "ann_ivf_topk": _q.ann_ivf_topk,
+        "ann_ivf_recall": _q.ann_ivf_recall,
+        "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
+        "dedup_simhash_drops": _q.dedup_simhash_drops,
         "er_chained_pairs": _q.er_chained_pairs,
         "er_capped_keys": _q.er_capped_keys,
-        # --- A: r3's rotated-out 19, back in front ------------------------
+        # --- A: helper-adjacent, kept in ----------------------------------
         "text_winnow_fingerprints": _q.text_winnow_fingerprints,
         "ann_topk": _q.ann_topk,
         "ann_mrr": _q.ann_mrr,
@@ -56,10 +64,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_span_encodings": _q.el_span_encodings,
         "el_mention_context": _q.el_mention_context,
         "el_window_regroup": _q.el_window_regroup,
-        "text_token_stats": _q.text_token_stats,
-        "text_quality": _q.text_quality,
-        "text_langid": _q.text_langid,
-        "text_fingerprint": _q.text_fingerprint,
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_multilang": _q.catalogue_multilang,
         # --- B: semantics-sensitive, kept in-window -----------------------
@@ -93,14 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_grid_2d": _q.er_threshold_grid_2d,
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
-        # --- D: rotated out this round (green r3 driver rows; judge-swept) -
-        # ann_ivf_topk/ann_ivf_recall yield their window slots to the two new
-        # A0 regime queries this round: both have green r3 driver rows, their
-        # shared machinery (cell assignment, fused rerank) is exercised
-        # in-window by ann_lsh_* (same join shape since r4), and the full
-        # check_oracles sweep still value-checks them every round.
-        "ann_ivf_topk": _q.ann_ivf_topk,
-        "ann_ivf_recall": _q.ann_ivf_recall,
+        # --- D: rotated out (>= 2 green driver rows each; judge-swept) ----
+        "text_token_stats": _q.text_token_stats,
+        "text_quality": _q.text_quality,
+        "text_langid": _q.text_langid,
+        "text_fingerprint": _q.text_fingerprint,
         "embed_documents": _q.embed_documents,
         "er_scored_pairs_embedding": _q.er_scored_pairs_embedding,
         "multimodal_features": _q.multimodal_features,

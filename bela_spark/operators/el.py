@@ -90,14 +90,14 @@ def merge_overlapping_spans(
     # query call site (offset, length) is unique per doc so this changes
     # nothing — but two spans with identical (offset, length, score) and
     # different payloads (e.g. ent_id) must not be picked nondeterministically
-    # when the operator is used generically. Map-typed columns are skipped:
-    # Spark cannot order on maps, and including one would fail the whole
-    # merge at plan time.
+    # when the operator is used generically. Columns with a map ANYWHERE in
+    # their type (top-level map, array<map<...>>, struct<...:map<...>>) are
+    # skipped: Spark cannot order on maps at any nesting depth, and including
+    # one would fail the whole merge at plan time.
     payload = [
         c
         for c, t in spans.dtypes
-        if c not in (id_col, "offset", "length", "score")
-        and not t.startswith("map")
+        if c not in (id_col, "offset", "length", "score") and "map" not in t
     ]
     w_pick = W.partitionBy(id_col, "session").orderBy(
         F.desc("score"), F.asc("offset"), F.asc("length"),

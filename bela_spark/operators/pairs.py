@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from bela_spark.config import LinkageConfig
 
@@ -38,9 +38,66 @@ def keyed_with_counts(
     membership in one task — for a 10^8-member near-dup family that is a
     single-task straggler; the groupBy count is map-side-combined and the
     shuffle-hash join streams the big side (no per-partition sort, unlike
-    sort-merge, which would re-sort the mega key inside one partition)."""
+    sort-merge, which would re-sort the mega key inside one partition).
+
+    The join is null-safe (<=>): blocking keys are non-null today, but
+    F.concat propagates nulls, and a plain equi-join would silently drop a
+    future nullable key family from pairs AND from the drop log — where the
+    count window this replaced kept a null partition. groupBy already groups
+    nulls; eqNullSafe keeps the join from re-dropping them (still an
+    equi-join shape, so the shuffle-hash hint applies)."""
     counts = keys.groupBy(key_col).agg(F.count("*").alias(count_col))
-    return keys.join(counts.hint("shuffle_hash"), key_col)
+    cnt = counts.withColumnRenamed(key_col, "_kwc_key")
+    return keys.join(
+        cnt.hint("shuffle_hash"), F.col(key_col).eqNullSafe(F.col("_kwc_key"))
+    ).drop("_kwc_key")
+
+
+def _lex_ge(cols: Sequence[str], vals: Sequence) -> Column:
+    """Lexicographic (cols...) >= (vals...) as one boolean expression —
+    type-agnostic tuple comparison (works for any orderable column types, no
+    struct-literal construction per row)."""
+    expr = F.col(cols[-1]) >= F.lit(vals[-1])
+    for c, v in zip(reversed(cols[:-1]), reversed(vals[:-1])):
+        expr = (F.col(c) > F.lit(v)) | ((F.col(c) == F.lit(v)) & expr)
+    return expr
+
+
+def range_boundaries(
+    df: DataFrame, tuple_cols: Sequence[str], n: int, oversample: int = 32
+) -> list[tuple]:
+    """<= n-1 split tuples over `tuple_cols`, collected once on the driver —
+    the explicit, data-derived form of what RangePartitioner samples.
+
+    The sample predicate is a PURE function of the row (xxhash64 of the tuple
+    below a count-scaled threshold), so the same ~n*oversample tuples are
+    selected no matter how the input is partitioned or which plan branch
+    re-executes the scan; boundary choice affects only chunk balance, never
+    ranks (any order-respecting chunking yields identical two-phase ranks).
+    Costs two column-pruned jobs over `df` (count + filtered collect) —
+    callers with an expensive upstream DAG should persist it (run_linkage
+    does). Tuples containing nulls are excluded from boundary candidacy."""
+    total = df.count()
+    if total == 0 or n <= 1:
+        return []
+    m = 1 << 40
+    thresh = min(m, max(1, (n * oversample * m) // total))
+    sample = sorted(
+        tuple(r)
+        for r in df.select(*tuple_cols)
+        .where(F.pmod(F.xxhash64(*tuple_cols), F.lit(m)) < F.lit(thresh))
+        .collect()
+        if all(v is not None for v in r)
+    )
+    if not sample:
+        return []
+    k = min(n - 1, len(sample))
+    bounds: list[tuple] = []
+    for i in range(1, k + 1):
+        b = sample[(i * len(sample)) // (k + 1)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
 
 
 def ranked_in_key(
@@ -54,33 +111,35 @@ def ranked_in_key(
     task ever sorts a whole mega key (the fix for the single-task WindowExec
     the r3 verdict flagged in the chained pair tier).
 
-    Phase 1: repartitionByRange over (key, *order_cols) splits each key into
-    contiguous chunks of the global order; a window over (chunk, key) ranks
-    locally, each task bounded by one range chunk. Phase 2: per-(chunk, key)
-    sizes (one tiny row per chunk a key touches) get a per-key running offset;
-    global rank = local rank + offset of earlier chunks. Emits the identical
-    rank a single `row_number over (partition by key order by order_cols)`
-    would (order_cols + a unique final column must make the order total).
+    Phase 1: `_chunk` = how many collected range boundaries the row's
+    (key, *order_cols) tuple is >= of — a pure function of the row's DATA, so
+    every plan branch that recomputes it (the local-rank window, the sizes
+    aggregate, both sides of any downstream self-join) assigns the identical
+    chunk with no materialization step. This replaces the earlier
+    repartitionByRange + spark_partition_id + localCheckpoint design, which
+    needed the checkpoint to freeze a partition-id-derived column against
+    AQE re-coalescing (and whose executor-local blocks made an executor loss
+    fail the whole job on long runs). A window over (chunk, key) then ranks
+    locally, each task bounded by ~total/n rows. Phase 2: per-(chunk, key)
+    sizes (one tiny row per chunk a key touches) get a per-key running
+    offset; global rank = local rank + offset of earlier chunks. Emits the
+    identical rank a single `row_number over (partition by key order by
+    order_cols)` would; rows tied on the full tuple always share a chunk, so
+    ties never straddle a boundary (order_cols + a unique final column
+    should still make the order total for a deterministic rank).
 
-    The `_chunk` column is FROZEN by a lazy localCheckpoint before any branch
-    reads it: the ranked frame is consumed by several independent plan
-    branches (the offsets broadcast job and both sides of the chain join),
-    and spark_partition_id is only consistent across those evaluations if the
-    chunk assignment is materialized once — AQE may re-coalesce a re-executed
-    range exchange differently per stage, which would silently misalign ranks
-    between the join sides (caught at 600k rows: the chained tier emitted a
-    different pair set run-to-run before the checkpoint was added).
-    localCheckpoint stores to executor-local blocks: an executor loss fails
-    the job (never corrupts ranks) — on a cluster where that risk matters,
-    set a reliable checkpoint dir upstream or persist+recompute."""
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    The offsets join is left unhinted: offsets has one row per (chunk, key)
+    pair, which AQE broadcasts when small but which a dataset with millions
+    of distinct mega keys would make a multi-million-row frame — forcing a
+    broadcast there would pressure the driver (ADVICE r4)."""
+    n = num_partitions or min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 256
     )
-    chunked = (
-        df.repartitionByRange(n, F.col(key_col), *[F.col(c) for c in order_cols])
-        .withColumn("_chunk", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    tuple_cols = [key_col, *order_cols]
+    chunk = F.lit(0)
+    for b in range_boundaries(df, tuple_cols, n):
+        chunk = chunk + F.when(_lex_ge(tuple_cols, b), 1).otherwise(0)
+    chunked = df.withColumn("_chunk", chunk)
     w_local = W.partitionBy("_chunk", key_col).orderBy(*order_cols)
     local = chunked.withColumn("_lrn", F.row_number().over(w_local))
     sizes = chunked.groupBy("_chunk", key_col).agg(F.count("*").alias("_csz"))
@@ -91,7 +150,7 @@ def ranked_in_key(
         "_off", F.coalesce(F.sum("_csz").over(w_off), F.lit(0))
     ).select("_chunk", key_col, "_off")
     return (
-        local.join(F.broadcast(offsets), ["_chunk", key_col])
+        local.join(offsets, ["_chunk", key_col])
         .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
         .drop("_chunk", "_lrn", "_off")
     )
@@ -209,7 +268,11 @@ def cap_keys(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> tuple[
 
 
 def candidate_pairs_with_drops(
-    keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid", persist: bool = True
+    keys: DataFrame,
+    cfg: LinkageConfig,
+    id_col: str = "rid",
+    persist: bool = True,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, drop_log): capped, salted, canonical (id1 < id2) pairs per key.
 
@@ -217,6 +280,14 @@ def candidate_pairs_with_drops(
     shuffle-hash join — no whole-key window task), persisted once, and feeds
     the drop log, the two-phase cap, the cold equi-join (both sides) and the
     hot salt-grid join (both sides).
+
+    `features`, when given, is an (id_col, *feature_cols) frame joined onto
+    the CAPPED key rows — a key-row-scale join, never a pair-scale one — so
+    the self-join emits each feature column as `<col>1`/`<col>2` and callers
+    can compute pair scores as a projection in the SAME stage (the
+    fused_block_and_score shape): no pair-sized feature payload ever has to
+    be re-joined downstream. Feature columns must not be named `key`,
+    `id1`/`id2`, or start with `_`.
     """
     keyed = keyed_with_counts(keys)
     if persist:
@@ -237,41 +308,42 @@ def candidate_pairs_with_drops(
         keyed, cfg.max_ids_per_key, "key", id_col, salt_buckets=64, count_col="_kn"
     ).withColumn("_eff", F.least(F.col("_kn"), F.lit(cfg.max_ids_per_key)))
 
-    cold = kept.filter(F.col("_eff") <= cfg.hot_key_threshold).select(id_col, "key")
-    hot = kept.filter(F.col("_eff") > cfg.hot_key_threshold).select(id_col, "key")
+    feat_cols: list[str] = []
+    if features is not None:
+        feat_cols = [c for c in features.columns if c != id_col]
+        kept = kept.join(features, id_col)
 
-    a, b = cold.alias("a"), cold.alias("b")
+    def side(df: DataFrame, n: int, extra: Sequence[str] = ()) -> DataFrame:
+        cols = [F.col(id_col).alias(f"id{n}")] + [
+            F.col(c).alias(f"{c}{n}") for c in feat_cols
+        ]
+        return df.select("key", *cols, *extra)
+
+    cold = kept.filter(F.col("_eff") <= cfg.hot_key_threshold)
+    hot = kept.filter(F.col("_eff") > cfg.hot_key_threshold)
+
     cold_pairs = (
-        a.join(b, "key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            "key",
-        )
+        side(cold, 1).join(side(cold, 2), "key").filter(F.col("id1") < F.col("id2"))
     )
 
     s = cfg.salt_buckets
     # salt(x) is a deterministic bucket of the id; replicate each side across
     # the other side's salt axis so every (x, y) meets at exactly one grid cell
     salted = hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(s)))
-    left = salted.withColumn("_s2", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))).select(
-        F.col(id_col), "key", F.col("_salt").alias("_s1"), "_s2"
-    )
-    right = salted.withColumn("_s1", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))).select(
-        F.col(id_col), "key", "_s1", F.col("_salt").alias("_s2")
-    )
-    la, rb = left.alias("a"), right.alias("b")
+    left = salted.withColumn(
+        "_s2", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumnRenamed("_salt", "_s1")
+    right = salted.withColumn(
+        "_s1", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumnRenamed("_salt", "_s2")
     hot_pairs = (
-        la.join(rb, ["key", "_s1", "_s2"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            "key",
-        )
+        side(left, 1, extra=("_s1", "_s2"))
+        .join(side(right, 2, extra=("_s1", "_s2")), ["key", "_s1", "_s2"])
+        .filter(F.col("id1") < F.col("id2"))
+        .drop("_s1", "_s2")
     )
-    return cold_pairs.unionByName(hot_pairs), drops
+    out_cols = ["id1", "id2", "key"] + [f"{c}{n}" for c in feat_cols for n in (1, 2)]
+    return cold_pairs.unionByName(hot_pairs).select(*out_cols), drops
 
 
 def candidate_pairs(keys: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> DataFrame:

@@ -456,25 +456,38 @@ def dedup_simhash_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard >= 0.4 over LSH candidates."""
-    j = _scored_pairs(spark, sf_dir)  # f_jac is token-level; recompute on shingles
+    """Exact shingle-Jaccard >= 0.4 over LSH candidates — computed INSIDE the
+    capped blocking-key self-join (the fused_block_and_score shape): the
+    distinct shingle array rides with the key rows into the join, Jaccard is
+    a projection in the same stage, and the cheap threshold filter runs
+    before the pair dedup, so no pair-sized shingle payload ever crosses a
+    shuffle boundary. (The r4 form re-joined each side of the generated pairs
+    to its shingles — the exact pair-sized feature-array shuffle eliminated
+    everywhere else — and regressed the driver bench 1.64x, VERDICT r4 #1.)
+    The pair set, cap and Jaccard values are identical to the r4 form, so the
+    oracle is unchanged."""
+    from bela_spark.operators.pairs import candidate_pairs_with_drops
+
+    keys = _all_keys(spark, sf_dir)
     sh = _shingled(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     )
-    pairs = j.select("id1", "id2")
+    pairs, _ = candidate_pairs_with_drops(
+        keys, CFG, id_col="doc_id", persist=False, features=sh
+    )
     out = (
-        pairs.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1")), "id1")
-        .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2")), "id2")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
-            F.when(F.size(F.array_union("s1", "s2")) == 0, F.lit(1.0)).otherwise(
-                F.size(F.array_intersect("s1", "s2"))
-                / F.size(F.array_union("s1", "s2")).cast("double")
+            F.when(F.size(F.array_union("sh1", "sh2")) == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")).cast("double")
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("id1", "id2", f6("jaccard").alias("jaccard"))
+        .distinct()
     )
-    return out.select("id1", "id2", f6("jaccard").alias("jaccard"))
+    return out
 
 
 # LSH blocking configuration shared verbatim with the DuckDB oracles (the

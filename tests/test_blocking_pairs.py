@@ -162,6 +162,64 @@ def test_ranked_in_key_all_ties_split_across_chunks(spark):
     assert n_chunks > 1, "tie block collapsed into one range chunk"
 
 
+def test_keyed_with_counts_keeps_null_keys(spark):
+    """A nullable key family must not vanish from the counted frame (ADVICE
+    r4): F.concat propagates nulls, and the old plain equi-join dropped
+    null-key rows that the pre-r4 count window kept in a null partition. The
+    null-safe join must keep them, counted as one group."""
+    from bela_spark.operators.pairs import keyed_with_counts
+
+    df = spark.createDataFrame(
+        [("r1", "k"), ("r2", "k"), ("r3", None), ("r4", None), ("r5", None)],
+        ["rid", "key"],
+    )
+    got = {(r["rid"], r["key"], r["_kn"]) for r in keyed_with_counts(df).collect()}
+    assert got == {
+        ("r1", "k", 2),
+        ("r2", "k", 2),
+        ("r3", None, 3),
+        ("r4", None, 3),
+        ("r5", None, 3),
+    }
+
+
+def test_range_boundaries_partitioning_invariant(spark):
+    """The boundary sample is a pure function of the DATA: the same rows must
+    yield the same boundaries no matter how the input is partitioned or how
+    many times the scan re-executes — this purity is what lets every plan
+    branch recompute `_chunk` identically with no checkpoint (the r4
+    spark_partition_id divergence cannot recur by construction)."""
+    from bela_spark.operators.pairs import range_boundaries
+
+    rows = [(f"r{i:05d}", "mega", f"content {i % 37:02d} tail {i:05d}") for i in range(3000)]
+    a = spark.createDataFrame(rows, ["rid", "key", "norm"])
+    b = spark.createDataFrame(rows, ["rid", "key", "norm"]).repartition(17, "rid")
+    cols = ["key", "norm", "rid"]
+    ba = range_boundaries(a, cols, 8)
+    bb = range_boundaries(b, cols, 8)
+    assert ba == bb
+    assert 1 <= len(ba) <= 7
+    assert ba == sorted(ba)
+
+
+def test_ranked_in_key_null_order_col(spark):
+    """Rows whose order column is null must still rank (nulls first, Spark's
+    ascending default) — the chunk indicator treats a null comparison as
+    'before every boundary', consistent with the window order."""
+    from pyspark.sql import Window as W
+
+    from bela_spark.operators.pairs import ranked_in_key
+
+    rows = [(f"r{i:04d}", "k", None if i % 5 == 0 else f"n{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["rid", "key", "norm"])
+    got = ranked_in_key(df, ("norm", "rid"), num_partitions=6)
+    w = W.partitionBy("key").orderBy("norm", "rid")
+    exp = df.withColumn("_w", F.row_number().over(w))
+    joined = got.join(exp.select("rid", "_w"), "rid")
+    assert joined.count() == 200
+    assert joined.filter(F.col("_cn") != F.col("_w")).count() == 0
+
+
 def test_cap_and_rank_match_python_reference(spark):
     """Seeded randomized cases (skewed key sizes, heavy norm ties) checked
     against a plain-Python reference for both two-phase primitives: the cap
