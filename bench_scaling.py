@@ -133,12 +133,30 @@ def worker(cpus: int, rows: int) -> None:
     spark.stop()
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
 
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_ROWS
+    # contention guard: this box's background load bursts +-40% (BASELINE.md)
+    # and a burst during the local[8] arm INFLATES measured efficiency (and
+    # during the local[32] arm deflates it) — either way the number is not
+    # evidence. Record the 1-min load at start and end so every SCALING.json
+    # carries its own validity context; refuse to start under obvious load.
+    load0 = _loadavg()
+    if load0 > 4.0 and not os.environ.get("BELA_SCALE_FORCE"):
+        print(
+            f"ABORT: 1-min loadavg {load0} > 4.0 — a contended box cannot "
+            "produce comparable arms (set BELA_SCALE_FORCE=1 to override)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
@@ -163,6 +181,8 @@ def main() -> None:
         "efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "loadavg_before": load0,
+        "loadavg_after": _loadavg(),
     }
     print(json.dumps(summary))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
