@@ -43,7 +43,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      semantics (text_* x4 newly rotated out: green r2+r4, textops.py
     #      untouched since) and is still swept by scripts/check_oracles.py.
     return {
-        # --- A0: r4-rewritten machinery + forced at-scale regimes ---------
+        # --- A0: NEW in r5 — the at-scale IDF-weighted scorer (the fix for
+        #     the measured 600k-scale precision gap: bench F1 0.9788 -> 0.999)
+        "er_idf_weights": _q.er_idf_weights,
+        "er_idf_scored_pairs": _q.er_idf_scored_pairs,
+        # --- A0b: r4-rewritten machinery + forced at-scale regimes --------
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
         "dedup_winnow_fp_drops": _q.dedup_winnow_fp_drops,
@@ -64,8 +68,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_span_encodings": _q.el_span_encodings,
         "el_mention_context": _q.el_mention_context,
         "el_window_regroup": _q.el_window_regroup,
-        "text_topk_tokens": _q.text_topk_tokens,
-        "catalogue_multilang": _q.catalogue_multilang,
         # --- B: semantics-sensitive, kept in-window -----------------------
         "el_interval_merge": _q.el_interval_merge,
         "el_detect_f1": _q.el_detect_f1,
@@ -98,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
         "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         # --- D: rotated out (>= 2 green driver rows each; judge-swept) ----
+        "text_topk_tokens": _q.text_topk_tokens,
+        "catalogue_multilang": _q.catalogue_multilang,
         "text_token_stats": _q.text_token_stats,
         "text_quality": _q.text_quality,
         "text_langid": _q.text_langid,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
 from bela_spark.functions.vectors import cosine_sim
+from bela_spark.operators.idf import weighted_jaccard_cols
 
 
 def attach_pair_features(
@@ -174,22 +175,30 @@ def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFra
          leaves the threshold reachable.
     Junk candidate pairs from loose blocking keys cost ~5us instead of ~1ms.
     Gated-off pairs carry f_jac/f_lev = 0. Callers must pass t1/t2 as
-    array_distinct token arrays (the size bound is only valid for sets)."""
+    array_distinct token arrays (the size bound is only valid for sets).
+
+    With cfg.idf_weighting, t1/t2 are array<struct<t, w>> weighted token
+    sets and s1/s2 their precomputed weight sums (operators/idf.py);
+    f_jac becomes the IDF-weighted jaccard and the stage-1 gate uses the
+    weight-sum ratio bound — same exactness argument, weights instead of
+    cardinalities."""
     m = cfg.lev_max_chars
     gate = jaccard_gate(cfg, use_cosine)
-    s1, s2 = F.size("t1"), F.size("t2")
-    size_bound = F.when(
-        F.greatest(s1, s2) == 0, F.lit(1.0)
-    ).otherwise(F.least(s1, s2) / F.greatest(s1, s2).cast("double"))
-    out = df.withColumn(
-        "f_jac",
-        F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(
+    if cfg.idf_weighting:
+        size_bound, wjac = weighted_jaccard_cols("t1", "t2", "s1", "s2")
+        jac_expr = F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(wjac)
+    else:
+        s1, s2 = F.size("t1"), F.size("t2")
+        size_bound = F.when(
+            F.greatest(s1, s2) == 0, F.lit(1.0)
+        ).otherwise(F.least(s1, s2) / F.greatest(s1, s2).cast("double"))
+        jac_expr = F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(
             F.when(F.size(F.array_union("t1", "t2")) == 0, F.lit(1.0)).otherwise(
                 F.size(F.array_intersect("t1", "t2"))
                 / F.size(F.array_union("t1", "t2")).cast("double")
             )
-        ),
-    ).withColumn(
+        )
+    out = df.withColumn("f_jac", jac_expr).withColumn(
         "f_lev",
         F.when(
             F.col("f_jac") >= F.lit(gate),
@@ -245,7 +254,11 @@ def fused_block_and_score(
     """
     from bela_spark.operators.pairs import keyed_with_counts, ranked_in_key
 
-    feat_cols = ["norm", "tokens"] + (["embedding"] if use_cosine else [])
+    feat_cols = (
+        ["norm", "tokens"]
+        + (["ws"] if cfg.idf_weighting else [])
+        + (["embedding"] if use_cosine else [])
+    )
     # cardinality via groupBy + shuffle-hash join (keyed_with_counts): the old
     # count-window buffered each key's whole membership in one task — the
     # 10^8-member near-dup family would be a single-task straggler. The join
@@ -272,7 +285,7 @@ def fused_block_and_score(
         )
     )
 
-    short = {"norm": "n", "tokens": "t", "embedding": "e"}
+    short = {"norm": "n", "tokens": "t", "ws": "s", "embedding": "e"}
 
     def side(df, n, extra=()):
         cols = [F.col(id_col).alias(f"id{n}")] + [

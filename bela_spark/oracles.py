@@ -519,6 +519,62 @@ def oracle_sql() -> dict[str, str]:
                    floor(score * 1000000) / 1000000 AS score
             FROM scored2
         """,
+        # anchored-log2 integer IDF weights (operators/idf.py): all-integer
+        # arithmetic (bin-string lengths over exact counts), so weights,
+        # weight sums and the weighted-jaccard ratio replay bit-identically
+        "er_idf_weights": f"WITH {_BASE} "
+        + """,
+            dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+            nn AS (SELECT count(*) AS n FROM toks),
+            dfreq AS (SELECT token, count(*) AS df FROM dtok GROUP BY token)
+            SELECT token, df::BIGINT AS df,
+                   greatest(1, length(bin(nn.n)) - length(bin(df)) + 1)::BIGINT AS w
+            FROM dfreq, nn
+            ORDER BY df DESC, token ASC LIMIT 50
+        """,
+        "er_idf_scored_pairs": f"WITH {_PAIRS} "
+        + """,
+            dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+            nn AS (SELECT count(*) AS n FROM toks),
+            dfreq AS (SELECT token, count(*) AS df FROM dtok GROUP BY token),
+            tw AS (
+              SELECT d.doc_id, d.token,
+                     greatest(1, length(bin(nn.n)) - length(bin(dfreq.df)) + 1)::BIGINT AS w
+              FROM dtok d JOIN dfreq USING (token), nn
+            ),
+            wsum AS (SELECT doc_id, sum(w)::BIGINT AS ws FROM tw GROUP BY doc_id),
+            inter AS (
+              SELECT p.id1, p.id2, sum(a.w)::BIGINT AS wi
+              FROM upairs p
+              JOIN tw a ON a.doc_id = p.id1
+              JOIN tw b ON b.doc_id = p.id2 AND b.token = a.token
+              GROUP BY p.id1, p.id2
+            ),
+            scored AS (
+              SELECT p.id1, p.id2,
+                CASE WHEN greatest(length(r1.norm), length(r2.norm)) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(r1.norm, r2.norm)
+                          / greatest(length(r1.norm), length(r2.norm))::DOUBLE END AS f_lev,
+                coalesce(i.wi, 0) AS wi,
+                coalesce(w1.ws, 0) + coalesce(w2.ws, 0) - coalesce(i.wi, 0) AS wu
+              FROM upairs p
+              JOIN toks r1 ON r1.doc_id = p.id1
+              JOIN toks r2 ON r2.doc_id = p.id2
+              LEFT JOIN wsum w1 ON w1.doc_id = p.id1
+              LEFT JOIN wsum w2 ON w2.doc_id = p.id2
+              LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+            ),
+            final AS (
+              SELECT id1, id2, f_lev,
+                CASE WHEN wu <= 0 THEN 1.0 ELSE wi::DOUBLE / wu::DOUBLE END AS f_wjac
+              FROM scored
+            )
+            SELECT id1, id2,
+                   floor(f_lev * 1000000) / 1000000 AS f_lev,
+                   floor(f_wjac * 1000000) / 1000000 AS f_wjac,
+                   floor((0.2 * f_lev + 0.5 * f_wjac) / 0.7 * 1000000) / 1000000 AS score
+            FROM final
+        """,
         "er_edges": f"WITH {_SCORED} "
         + "SELECT id1, id2 FROM scored2 WHERE score >= 0.60",
         "er_clusters": f"WITH RECURSIVE {_CLUSTERS} "

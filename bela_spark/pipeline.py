@@ -21,6 +21,7 @@ from bela_spark.functions.text import record_id
 from bela_spark.functions.vectors import embed_text
 from bela_spark.operators.blocking import blocking_keys, with_record_columns
 from bela_spark.operators.cc import CCResult, connected_components
+from bela_spark.operators.idf import weight_tokens
 from bela_spark.operators.scoring import (
     accept_edges,
     attach_pair_features,
@@ -56,6 +57,45 @@ def prepare_records(
     if use_embeddings:
         rec = rec.withColumn("embedding", embed_text(cfg.embedding_dim, cfg.seed)("norm"))
     return rec
+
+
+def pair_stage_features(
+    base: DataFrame, cfg: LinkageConfig, use_embeddings: bool = False
+) -> DataFrame:
+    """(rid, norm, tokens[, ws][, embedding]) slimmed for the pair stage.
+
+    These rows are shuffled per (record, key), so every byte is multiplied by
+    the key fan-out: norm -> its lev_max_chars prefix (all Levenshtein sees);
+    tokens -> distinct 32-bit token hashes (set jaccard is hash-collision
+    tolerant at ~50 tokens, int arrays shuffle and compare ~3x cheaper than
+    strings; also validates the O(1) size-ratio gate, which needs sets).
+    With cfg.idf_weighting the hashed token set is further replaced by the
+    (token, weight) array + weight sum from operators/idf.py — weights are
+    document frequencies over `base`, i.e. post-collapse representatives when
+    the caller collapses exact duplicates (a 10^6-member exact-dup group
+    counts once toward df, as it should). Shared by run_linkage and the
+    scaling bench so both always measure the same feature kernel."""
+
+    def _slim(c):
+        if c == "tokens":
+            # outer array_distinct: a 2^31-bucket hash collision can merge two
+            # distinct tokens, and the O(1) size-ratio gate in scoring is only
+            # exact over genuine sets — dedup AFTER hashing keeps it airtight
+            return F.array_distinct(
+                F.transform(
+                    F.array_distinct("tokens"),
+                    lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
+                )
+            ).alias("tokens")
+        if c == "norm":
+            return F.substring("norm", 1, cfg.lev_max_chars).alias("norm")
+        return F.col(c)
+
+    feature_cols = ["norm", "tokens"] + (["embedding"] if use_embeddings else [])
+    feats = base.select("rid", *[_slim(c) for c in feature_cols])
+    if cfg.idf_weighting:
+        feats = weight_tokens(feats, "rid", "tokens")
+    return feats
 
 
 def run_linkage(
@@ -102,33 +142,20 @@ def run_linkage(
     else:
         base = records
 
+    if batched_scoring and cfg.idf_weighting:
+        raise ValueError(
+            "the legacy batched Arrow scorer is unweighted by design — "
+            "idf_weighting requires the fused JVM path"
+        )
     feature_cols = ["norm", "tokens"] + (
         ["embedding"] if (use_embeddings or batched_scoring) else []
     )
     keys = blocking_keys(base, cfg)
-    # Slim pair-stage features to what scoring actually reads — these rows are
-    # shuffled per (record, key), so every byte here is multiplied by the key
-    # fan-out: norm -> its lev_max_chars prefix (all Levenshtein sees);
-    # tokens -> distinct 32-bit token hashes (set jaccard is hash-collision
-    # tolerant at ~50 tokens, int arrays shuffle and compare ~3x cheaper than
-    # strings; also validates the O(1) size-ratio gate, which needs sets)
-    def _slim(c):
-        if c == "tokens":
-            # outer array_distinct: a 2^31-bucket hash collision can merge two
-            # distinct tokens, and the O(1) size-ratio gate in scoring is only
-            # exact over genuine sets — dedup AFTER hashing keeps it airtight
-            return F.array_distinct(
-                F.transform(
-                    F.array_distinct("tokens"),
-                    lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
-                )
-            ).alias("tokens")
-        if c == "norm":
-            return F.substring("norm", 1, cfg.lev_max_chars).alias("norm")
-        return F.col(c)
-
     keys_with_features = keys.join(
-        base.select("rid", *[_slim(c) for c in feature_cols]), "rid"
+        pair_stage_features(
+            base, cfg, use_embeddings=use_embeddings or batched_scoring
+        ),
+        "rid",
     )
     if persist:
         # the counts join inside fused_block_and_score reads this frame

@@ -257,6 +257,88 @@ def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_idf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-log2 integer IDF weight table over document tokens — the
+    weight formula of the at-scale scorer (operators/idf.py), value-pinned:
+    w = max(1, len(bin(N)) - len(bin(df)) + 1), all integer arithmetic over
+    exact counts, so the DuckDB twin reproduces it bit-identically. Top 50
+    tokens by document frequency (ties by token) keep the output small and
+    deterministic."""
+    r = _records(spark, sf_dir).select("doc_id", F.array_distinct("tokens").alias("dt"))
+    # scalar subquery, not a 1-row crossJoin: keeps the plan join-free so the
+    # no-all-pairs plan gate applies to this query like any other
+    n_docs = r.agg(F.count("*").alias("_N")).scalar()
+    dfreq = (
+        r.select(F.explode("dt").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        dfreq.select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                (F.length(F.bin(n_docs)) - F.length(F.bin(F.col("df"))) + F.lit(1)).cast(
+                    "long"
+                ),
+            ).alias("w"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E8 at-scale variant: IDF-weighted token jaccard (via the REAL
+    weight_tokens operator + weighted_jaccard_cols kernel, string-keyed) +
+    full-norm Levenshtein, blended 0.2/0.5 like LinkageConfig.at_scale().
+    This is the driver-visible value check for the weighted scorer whose
+    effect at 600k rows the bench F1 gate measures (0.9788 -> 0.9993)."""
+    from bela_spark.operators.idf import weight_tokens, weighted_jaccard_cols
+
+    pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
+    r = _records(spark, sf_dir).select(
+        "doc_id", "norm", F.array_distinct("tokens").alias("tokens")
+    )
+    tw = weight_tokens(r, "doc_id", "tokens")
+    j = pairs.join(
+        tw.select(
+            F.col("doc_id").alias("id1"),
+            F.col("norm").alias("n1"),
+            F.col("tokens").alias("t1"),
+            F.col("ws").alias("s1"),
+        ),
+        "id1",
+    ).join(
+        tw.select(
+            F.col("doc_id").alias("id2"),
+            F.col("norm").alias("n2"),
+            F.col("tokens").alias("t2"),
+            F.col("ws").alias("s2"),
+        ),
+        "id2",
+    )
+    _, wjac = weighted_jaccard_cols("t1", "t2", "s1", "s2")
+    j = j.withColumn(
+        "f_lev",
+        F.when(F.greatest(F.length("n1"), F.length("n2")) == 0, F.lit(1.0)).otherwise(
+            1.0
+            - F.levenshtein("n1", "n2")
+            / F.greatest(F.length("n1"), F.length("n2")).cast("double")
+        ),
+    ).withColumn("f_wjac", wjac).withColumn(
+        "score", (0.2 * F.col("f_lev") + 0.5 * F.col("f_wjac")) / F.lit(0.7)
+    )
+    return j.select(
+        "id1",
+        "id2",
+        f6("f_lev").alias("f_lev"),
+        f6("f_wjac").alias("f_wjac"),
+        f6("score").alias("score"),
+    )
+
+
 def er_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/C1: threshold gate -> accepted edges."""
     return (

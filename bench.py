@@ -84,7 +84,7 @@ def main() -> None:
     def _linkage():
         from pyspark.sql import functions as F
 
-        run = run_linkage(df, LinkageConfig(), collapse_exact=True)
+        run = run_linkage(df, LinkageConfig.at_scale(), collapse_exact=True)
         n_pairs = run.scored.count()
         n_clusters = run.clusters.select("cluster_id").distinct().count()
         # tier-switch visibility (VERDICT r3 stretch): how many keys took the
@@ -120,7 +120,7 @@ def main() -> None:
     from bela_spark.fixtures import synth_repo_files as _synth_truth
     from bela_spark.pipeline import label_pairs, pairwise_f1
 
-    cfg0 = LinkageConfig()
+    cfg0 = LinkageConfig.at_scale()
     truth = _synth_truth(spark, n_linkage, seed=42, with_truth=True).selectExpr(
         "sha2(concat_ws('||', repo, path, commit), 256) as rid", "group_id"
     )
@@ -144,7 +144,9 @@ def main() -> None:
     # row times chain ranking + scoring + CC with zero salted keys, at bench
     # scale, every round. Counts are reported separately (the pair set is
     # linear-emission by design, smaller than the headline's quadratic tiers).
-    chained_cfg = LinkageConfig(mega_key_threshold=LinkageConfig().hot_key_threshold)
+    chained_cfg = LinkageConfig.at_scale(
+        mega_key_threshold=LinkageConfig().hot_key_threshold
+    )
 
     def _linkage_chained():
         from pyspark.sql import functions as F

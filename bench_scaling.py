@@ -38,12 +38,14 @@ def worker(cpus: int, rows: int) -> None:
     from bela_spark.fixtures import synth_repo_files
     from bela_spark.operators.blocking import blocking_keys
     from bela_spark.operators.scoring import fused_block_and_score
-    from bela_spark.pipeline import prepare_records
+    from bela_spark.pipeline import pair_stage_features, prepare_records
     from bela_spark.session import get_spark
 
     from pyspark.sql import Window as W, functions as F
 
-    cfg = LinkageConfig()
+    # the at-scale scorer (IDF-weighted jaccard) — the configuration the
+    # 100-TB deployment would run, so the scaling evidence measures it
+    cfg = LinkageConfig.at_scale()
     # 48g heap for BOTH arms: at the default 24g the 32-thread JVM is
     # GC-throttled (measured: 74-92s/pass vs a stable 55s at 48g, while the
     # 8-thread arm is unaffected) — an artifact of packing 4N cores into ONE
@@ -58,19 +60,7 @@ def worker(cpus: int, rows: int) -> None:
     )
     def block_and_score(base_df, persist):
         keys = blocking_keys(base_df, cfg)
-        kwf = keys.join(
-            base_df.select(
-                "rid",
-                F.substring("norm", 1, cfg.lev_max_chars).alias("norm"),
-                F.array_distinct(
-                    F.transform(
-                        F.array_distinct("tokens"),
-                        lambda t: F.pmod(F.xxhash64(t), F.lit(2**31)).cast("int"),
-                    )
-                ).alias("tokens"),
-            ),
-            "rid",
-        )
+        kwf = keys.join(pair_stage_features(base_df, cfg), "rid")
         return fused_block_and_score(kwf, cfg, persist=persist)
 
     # warm the JVM/codegen paths on a small slice so the timed run measures
