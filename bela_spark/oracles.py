@@ -273,6 +273,48 @@ clusters AS (
 )
 """
 
+# IDF-weighted scoring over the candidate pairs (operators/idf.py twin):
+# anchored-log2 integer weights, weighted jaccard, 0.2 lev / 0.5 wjac blend —
+# shared by er_idf_scored_pairs (floored feature rows) and er_idf_clusters
+# (thresholded edges + recursive CC).
+_IDF_SCORED = _PAIRS + """,
+dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+nn AS (SELECT count(*) AS n FROM toks),
+dfreq AS (SELECT token, count(*) AS df FROM dtok GROUP BY token),
+tw AS (
+  SELECT d.doc_id, d.token,
+         greatest(1, length(bin(nn.n)) - length(bin(dfreq.df)) + 1)::BIGINT AS w
+  FROM dtok d JOIN dfreq USING (token), nn
+),
+wsum AS (SELECT doc_id, sum(w)::BIGINT AS ws FROM tw GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, sum(a.w)::BIGINT AS wi
+  FROM upairs p
+  JOIN tw a ON a.doc_id = p.id1
+  JOIN tw b ON b.doc_id = p.id2 AND b.token = a.token
+  GROUP BY p.id1, p.id2
+),
+wscored AS (
+  SELECT p.id1, p.id2,
+    CASE WHEN greatest(length(r1.norm), length(r2.norm)) = 0 THEN 1.0
+         ELSE 1.0 - levenshtein(r1.norm, r2.norm)
+              / greatest(length(r1.norm), length(r2.norm))::DOUBLE END AS f_lev,
+    coalesce(i.wi, 0) AS wi,
+    coalesce(w1.ws, 0) + coalesce(w2.ws, 0) - coalesce(i.wi, 0) AS wu
+  FROM upairs p
+  JOIN toks r1 ON r1.doc_id = p.id1
+  JOIN toks r2 ON r2.doc_id = p.id2
+  LEFT JOIN wsum w1 ON w1.doc_id = p.id1
+  LEFT JOIN wsum w2 ON w2.doc_id = p.id2
+  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+),
+final AS (
+  SELECT id1, id2, f_lev,
+    CASE WHEN wu <= 0 THEN 1.0 ELSE wi::DOUBLE / wu::DOUBLE END AS f_wjac
+  FROM wscored
+)
+"""
+
 # Shared tail of every detect-F1 oracle: the deterministic gold mentions
 # (2-token spans every 7 positions) strong-matched against a `pred` CTE,
 # reduced to micro P/R/F1 (one definition, three queries).
@@ -532,48 +574,35 @@ def oracle_sql() -> dict[str, str]:
             FROM dfreq, nn
             ORDER BY df DESC, token ASC LIMIT 50
         """,
-        "er_idf_scored_pairs": f"WITH {_PAIRS} "
-        + """,
-            dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
-            nn AS (SELECT count(*) AS n FROM toks),
-            dfreq AS (SELECT token, count(*) AS df FROM dtok GROUP BY token),
-            tw AS (
-              SELECT d.doc_id, d.token,
-                     greatest(1, length(bin(nn.n)) - length(bin(dfreq.df)) + 1)::BIGINT AS w
-              FROM dtok d JOIN dfreq USING (token), nn
-            ),
-            wsum AS (SELECT doc_id, sum(w)::BIGINT AS ws FROM tw GROUP BY doc_id),
-            inter AS (
-              SELECT p.id1, p.id2, sum(a.w)::BIGINT AS wi
-              FROM upairs p
-              JOIN tw a ON a.doc_id = p.id1
-              JOIN tw b ON b.doc_id = p.id2 AND b.token = a.token
-              GROUP BY p.id1, p.id2
-            ),
-            scored AS (
-              SELECT p.id1, p.id2,
-                CASE WHEN greatest(length(r1.norm), length(r2.norm)) = 0 THEN 1.0
-                     ELSE 1.0 - levenshtein(r1.norm, r2.norm)
-                          / greatest(length(r1.norm), length(r2.norm))::DOUBLE END AS f_lev,
-                coalesce(i.wi, 0) AS wi,
-                coalesce(w1.ws, 0) + coalesce(w2.ws, 0) - coalesce(i.wi, 0) AS wu
-              FROM upairs p
-              JOIN toks r1 ON r1.doc_id = p.id1
-              JOIN toks r2 ON r2.doc_id = p.id2
-              LEFT JOIN wsum w1 ON w1.doc_id = p.id1
-              LEFT JOIN wsum w2 ON w2.doc_id = p.id2
-              LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
-            ),
-            final AS (
-              SELECT id1, id2, f_lev,
-                CASE WHEN wu <= 0 THEN 1.0 ELSE wi::DOUBLE / wu::DOUBLE END AS f_wjac
-              FROM scored
-            )
+        "er_idf_scored_pairs": f"WITH {_IDF_SCORED} "
+        + """
             SELECT id1, id2,
                    floor(f_lev * 1000000) / 1000000 AS f_lev,
                    floor(f_wjac * 1000000) / 1000000 AS f_wjac,
                    floor((0.2 * f_lev + 0.5 * f_wjac) / 0.7 * 1000000) / 1000000 AS score
             FROM final
+        """,
+        # the FULL at-scale pipeline: weighted scoring -> floored-score
+        # threshold 0.52 -> recursive transitive closure -> assignment (the
+        # same CC recursion er_clusters pins, over the weighted edge set)
+        "er_idf_clusters": f"WITH RECURSIVE {_IDF_SCORED} "
+        + """,
+            edges AS (
+              SELECT id1, id2 FROM final
+              WHERE floor((0.2 * f_lev + 0.5 * f_wjac) / 0.7 * 1000000) / 1000000 >= 0.52
+            ),
+            sym AS (SELECT id1 AS u, id2 AS v FROM edges UNION SELECT id2, id1 FROM edges),
+            cc(id, comp) AS (
+              SELECT u, u FROM sym
+              UNION
+              SELECT s.v, c.comp FROM cc c JOIN sym s ON s.u = c.id WHERE c.comp < s.v
+            ),
+            comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+            clusters AS (
+              SELECT d.doc_id, coalesce(c.comp, d.doc_id)::BIGINT AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id, cluster_id FROM clusters
         """,
         "er_edges": f"WITH {_SCORED} "
         + "SELECT id1, id2 FROM scored2 WHERE score >= 0.60",

@@ -21,7 +21,7 @@ from bela_spark.functions.text import record_id
 from bela_spark.functions.vectors import embed_text
 from bela_spark.operators.blocking import blocking_keys, with_record_columns
 from bela_spark.operators.cc import CCResult, connected_components
-from bela_spark.operators.idf import weight_tokens
+from bela_spark.operators.idf import weight_tokens_packed
 from bela_spark.operators.scoring import (
     accept_edges,
     attach_pair_features,
@@ -94,7 +94,10 @@ def pair_stage_features(
     feature_cols = ["norm", "tokens"] + (["embedding"] if use_embeddings else [])
     feats = base.select("rid", *[_slim(c) for c in feature_cols])
     if cfg.idf_weighting:
-        feats = weight_tokens(feats, "rid", "tokens")
+        # packed form: the hashed int tokens are already < 2^31, so each
+        # rides with its global weight in one long — the scoring stage then
+        # intersects packed arrays natively instead of map-probing per pair
+        feats = weight_tokens_packed(feats, "rid", "tokens")
     return feats
 
 

@@ -294,7 +294,11 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight_tokens operator + weighted_jaccard_cols kernel, string-keyed) +
     full-norm Levenshtein, blended 0.2/0.5 like LinkageConfig.at_scale().
     This is the driver-visible value check for the weighted scorer whose
-    effect at 600k rows the bench F1 gate measures (0.9788 -> 0.9993)."""
+    effect at 600k rows the bench F1 gate measures (0.9788 -> 0.9989).
+    The pipeline itself runs the packed form of the same kernel
+    (weight_tokens_packed — token*64+weight longs, native array_intersect);
+    tests/test_idf_scoring.py::test_packed_kernel_matches_struct_kernel pins
+    the two bit-equal, so this oracle covers both."""
     from bela_spark.operators.idf import weight_tokens, weighted_jaccard_cols
 
     pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
@@ -336,6 +340,25 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6("f_lev").alias("f_lev"),
         f6("f_wjac").alias("f_wjac"),
         f6("score").alias("score"),
+    )
+
+
+def er_idf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end at-scale path: IDF-weighted scoring -> threshold 0.52 ->
+    large-star/small-star CC -> cluster assignment. Together with
+    er_idf_scored_pairs this makes the ENTIRE LinkageConfig.at_scale()
+    pipeline (weights -> weighted jaccard -> blend -> gate -> transitive
+    closure) driver-value-checked, not just the scoring stage. Thresholding
+    happens on the f6-floored score on both sides, so the edge sets agree
+    bit-for-bit."""
+    scored = er_idf_scored_pairs(spark, sf_dir)
+    edges = scored.filter(F.col("score") >= 0.52).select("id1", "id2").distinct()
+    cc = connected_components(edges, max_rounds=CFG.max_cc_rounds)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(
+        cc.assignments.withColumnRenamed("rid", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id")
     )
 
 

@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="add embedding-cosine feature (Arrow-batched encoder)")
     p.add_argument("--no-collapse-exact", action="store_true",
                    help="disable exact-content pre-collapse (debug only)")
+    p.add_argument("--at-scale", action="store_true",
+                   help="use LinkageConfig.at_scale(): IDF-weighted jaccard, "
+                   "the corpus-scale-calibrated scorer (recommended >= 10^5 rows)")
     args = p.parse_args(argv)
 
     from bela_spark.config import LinkageConfig
@@ -63,7 +66,11 @@ def main(argv: list[str] | None = None) -> None:
     from bela_spark.sources import read_repo_files
 
     spark = build_session("bela-linkage")
-    cfg = LinkageConfig(checkpoint_dir=args.checkpoint_dir)
+    cfg = (
+        LinkageConfig.at_scale(checkpoint_dir=args.checkpoint_dir)
+        if args.at_scale
+        else LinkageConfig(checkpoint_dir=args.checkpoint_dir)
+    )
 
     df = read_repo_files(spark, args.input)
     run = run_linkage(

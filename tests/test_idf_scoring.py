@@ -81,6 +81,47 @@ def test_weighted_jaccard_matches_python(spark):
         assert gj <= gb + 1e-12  # the O(1) bound really bounds
 
 
+def test_packed_kernel_matches_struct_kernel(spark):
+    """weight_tokens_packed + weighted_jaccard_packed_cols must reproduce the
+    generic struct kernel EXACTLY (same integer operands, one final double
+    division -> bit-equal floats) on integer token sets: the pipeline runs
+    the packed form, the oracle-pinned er_idf_* queries run the struct form,
+    and this equality is what ties the two together."""
+    import random
+
+    from bela_spark.operators.idf import (
+        weight_tokens_packed,
+        weighted_jaccard_packed_cols,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (f"r{i}", sorted(rng.sample(range(1000), rng.randint(0, 15))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "rid string, tokens array<int>")
+
+    def all_pairs(tw, bound, wjac):
+        a = tw.select(
+            F.col("rid").alias("id1"), F.col("tokens").alias("t1"), F.col("ws").alias("s1")
+        )
+        b = tw.select(
+            F.col("rid").alias("id2"), F.col("tokens").alias("t2"), F.col("ws").alias("s2")
+        )
+        return {
+            (r["id1"], r["id2"]): (r["b"], r["j"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", bound.alias("b"), wjac.alias("j"))
+            .collect()
+        }
+
+    got_struct = all_pairs(weight_tokens(df), *weighted_jaccard_cols())
+    got_packed = all_pairs(weight_tokens_packed(df), *weighted_jaccard_packed_cols())
+    assert got_struct == got_packed
+    assert len(got_packed) == 60 * 59 // 2
+
+
 def test_staged_gate_is_exact_under_weighting(spark):
     """Edges from the gated staged scorer == edges from an ungated scorer:
     the weight-sum ratio bound may zero features only for pairs that could
