@@ -79,9 +79,22 @@ def score_pairs(
 
 
 def score_pairs_batched(feat: DataFrame, cfg: LinkageConfig) -> DataFrame:
-    """Throughput path: one mapInPandas pass computing cosine + Jaro-Winkler
-    per Arrow batch (numpy matmul-style vectorization, E6 mirror:
-    mblink/task/blink_task.py:191-193), with lev/jaccard still JVM-side.
+    """Embedding-blend throughput path: one mapInPandas pass computing
+    cosine + Jaro-Winkler per Arrow batch (numpy matmul-style vectorization,
+    E6 mirror: mblink/task/blink_task.py:191-193), with lev/jaccard still
+    JVM-side.
+
+    MEASURED (round 5, 600k rows, local[32], min-of-2, identical 4,006,510
+    pairs): this path is 1.84x FASTER than expressing the same cosine blend
+    in the fused key join (131.8s vs 242.1s end-to-end incl. CC). The HOF
+    cosine (zip_with + aggregate) is interpreted per element per pair —
+    the same per-element overhead that made the unrolled ANN dot product a
+    negative result — while here one einsum amortizes it per Arrow batch,
+    and the pair-sized embedding shuffle the re-attach join costs is cheaper
+    than 4M interpreted 64-dim dot products. So: lexical-only scoring wants
+    the fused JVM path (run_linkage default; zero pair-sized feature
+    shuffles); embedding-blend scoring wants THIS path
+    (batched_scoring=True). See BASELINE.md round-5 notes.
 
     Input must carry norm_1/2, tokens_1/2, embedding_1/2.
     """

@@ -115,7 +115,14 @@ def run_linkage(
     pairwise stage; cf. the reference's in-batch entity dedup + target remap,
     order_entities, mblink/utils/utils.py:139-207). Members re-expand to the
     representative's cluster at assignment time, so final clusters are
-    identical either way (tests/test_pipeline_f1.py pins this)."""
+    identical either way (tests/test_pipeline_f1.py pins this).
+
+    Scorer routing (measured, BASELINE.md round 5): lexical-only scoring —
+    the default and the at_scale/IDF config — uses the fused JVM key join
+    (no pair-sized feature shuffle). When the blend includes embedding
+    cosine, pass batched_scoring=True: the Arrow einsum path beats the
+    fused HOF-cosine join 1.84x at 600k rows (use_embeddings=True remains
+    for the oracle-checked er_scored_pairs_embedding query shape)."""
     cfg = cfg or LinkageConfig()
     records = prepare_records(df, cfg, use_embeddings=use_embeddings or batched_scoring)
     if persist:

@@ -47,6 +47,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     per_pass: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+    # box-state context (VERDICT r4 #3): a driver-vs-builder gap under load
+    # should be attributable to contention, not argued — record the 1-min
+    # load average at start and end alongside the per-pass spreads
+    with open("/proc/loadavg") as f:
+        extras["loadavg_start"] = float(f.read().split()[0])
 
     def timed(name, fn):
         best, out = None, None
@@ -190,6 +195,8 @@ def main() -> None:
     ))
 
     total = round(sum(timings.values()), 3)
+    with open("/proc/loadavg") as f:
+        extras["loadavg_end"] = float(f.read().split()[0])
     print(
         json.dumps(
             {
