@@ -172,6 +172,44 @@ def weighted_jaccard_cols(
     return size_bound, wjac
 
 
+def weighted_jaccard_packed_staged(
+    t1: str = "t1", t2: str = "t2", s1: str = "s1", s2: str = "s2", wi: str = "_wi"
+):
+    """(size_bound, wi_expr, wjac_expr): the packed kernel split across TWO
+    projection stages so the intersection weight is computed ONCE per pair.
+
+    weighted_jaccard_packed_cols folds the intersection aggregate into a
+    single CASE expression; the weight sum then appears in the zero-union
+    test, the numerator AND the denominator, and because the HOF aggregate is
+    CodegenFallback the whole projection drops out of whole-stage codegen and
+    each occurrence is interpreted separately — the executed plan shows
+    aggregate(array_intersect(t1,t2), ..) THREE times, i.e. 3x the per-pair
+    kernel cost (measured as the 80s+ straggler tasks in the 2M-row scaling
+    arms). Projecting wi into its own column first makes Catalyst keep the
+    two Projects apart (CollapseProject never duplicates non-cheap
+    expressions), so array_intersect + the unpack-sum run exactly once.
+
+    Contract: project `wi_expr` (gated however the caller likes) as column
+    `wi`, THEN apply `wjac_expr`, which reads `wi` by name. Values are
+    bit-identical to the one-shot form — same integer ops, same single double
+    division."""
+    ws1, ws2 = F.col(s1), F.col(s2)
+    size_bound = F.when(F.greatest(ws1, ws2) == 0, F.lit(1.0)).otherwise(
+        F.least(ws1, ws2) / F.greatest(ws1, ws2).cast("double")
+    )
+    wi_expr = F.aggregate(
+        F.array_intersect(F.col(t1), F.col(t2)),
+        F.lit(0).cast("long"),
+        # packed values are non-negative, so x & 63 == pmod(x, 64); the
+        # branch-free form is cheaper in the interpreted lambda
+        lambda acc, x: acc + x.bitwiseAND(F.lit(63)),
+    )
+    wic = F.col(wi)
+    wu = ws1 + ws2 - wic
+    wjac_expr = F.when(wu <= 0, F.lit(1.0)).otherwise(wic / wu.cast("double"))
+    return size_bound, wi_expr, wjac_expr
+
+
 def weighted_jaccard_packed_cols(
     t1: str = "t1", t2: str = "t2", s1: str = "s1", s2: str = "s2"
 ):
@@ -182,7 +220,11 @@ def weighted_jaccard_packed_cols(
     longs inside whole-stage codegen; injective packing makes it exactly the
     token-set intersection), and the only interpreted HOF is the weight
     unpack-and-sum over the INTERSECTION — typically a handful of elements —
-    instead of a per-pair map build plus a probe per left token."""
+    instead of a per-pair map build plus a probe per left token.
+
+    One-shot single-expression form (the intersection aggregate appears 3x in
+    the expression tree): fine for tests and one-off queries; the pair hot
+    path uses weighted_jaccard_packed_staged, which evaluates it once."""
     ws1, ws2 = F.col(s1), F.col(s2)
     size_bound = F.when(F.greatest(ws1, ws2) == 0, F.lit(1.0)).otherwise(
         F.least(ws1, ws2) / F.greatest(ws1, ws2).cast("double")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
 from bela_spark.functions.vectors import cosine_sim
-from bela_spark.operators.idf import weighted_jaccard_packed_cols
+from bela_spark.operators.idf import weighted_jaccard_packed_staged
 
 
 def attach_pair_features(
@@ -197,21 +197,38 @@ def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFra
     bound — same exactness argument, weights instead of cardinalities."""
     m = cfg.lev_max_chars
     gate = jaccard_gate(cfg, use_cosine)
+    # Both kernels stage the intersection into its own projected column so
+    # the O(|t1|+|t2|) array work runs ONCE per pair. A single CASE expression
+    # references the intersection in the zero-union test, the numerator and
+    # the denominator, and Catalyst does not CSE across conditional branches
+    # (the weighted kernel's HOF aggregate is additionally CodegenFallback,
+    # so each occurrence was a separate interpreted evaluation — the measured
+    # 3x straggler in the 2M-row scaling arms). CollapseProject keeps the two
+    # Projects apart because _wi is non-cheap and multiply-referenced.
+    # The gated `when` without otherwise leaves _wi null for pairs pruned by
+    # the size bound; those get f_jac = 0.0 exactly as before.
     if cfg.idf_weighting:
-        size_bound, wjac = weighted_jaccard_packed_cols("t1", "t2", "s1", "s2")
-        jac_expr = F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(wjac)
+        size_bound, wi_expr, wjac = weighted_jaccard_packed_staged(
+            "t1", "t2", "s1", "s2"
+        )
+        jac_from_wi = wjac
     else:
         s1, s2 = F.size("t1"), F.size("t2")
         size_bound = F.when(
             F.greatest(s1, s2) == 0, F.lit(1.0)
         ).otherwise(F.least(s1, s2) / F.greatest(s1, s2).cast("double"))
-        jac_expr = F.when(size_bound < F.lit(gate), F.lit(0.0)).otherwise(
-            F.when(F.size(F.array_union("t1", "t2")) == 0, F.lit(1.0)).otherwise(
-                F.size(F.array_intersect("t1", "t2"))
-                / F.size(F.array_union("t1", "t2")).cast("double")
-            )
+        wi_expr = F.size(F.array_intersect("t1", "t2")).cast("long")
+        # t1/t2 are distinct arrays (caller contract), so |union| =
+        # |t1| + |t2| - |intersect| — no second array op, same integers
+        ju = (s1 + s2).cast("long") - F.col("_wi")
+        jac_from_wi = F.when(ju <= 0, F.lit(1.0)).otherwise(
+            F.col("_wi") / ju.cast("double")
         )
-    out = df.withColumn("f_jac", jac_expr).withColumn(
+    out = df.withColumn(
+        "_wi", F.when(size_bound >= F.lit(gate), wi_expr)
+    ).withColumn(
+        "f_jac", F.when(F.col("_wi").isNull(), F.lit(0.0)).otherwise(jac_from_wi)
+    ).drop("_wi").withColumn(
         "f_lev",
         F.when(
             F.col("f_jac") >= F.lit(gate),
@@ -306,6 +323,21 @@ def fused_block_and_score(
         ]
         return df.select("key", *cols, *extra)
 
+    # Pair-emitting joins are CPU-dense, not byte-dense: a ~50 MB salted-grid
+    # cell expands into millions of scored pairs, so AQE's byte-based
+    # partition coalescing (advisoryPartitionSizeInBytes) merges them into a
+    # handful of straggler tasks — measured at 2M rows: 75% of the pair-stage
+    # CPU in 4 of 20 tasks (68-84s each vs a 12s median), a floor no core
+    # count fixes. A user repartition on the exact join keys pins the join's
+    # partitioning (AQE never coalesces REPARTITION_BY_NUM stages, and the
+    # other join side must align), so the quadratic work spreads over the
+    # full shuffle-partition count regardless of how few bytes carry it.
+    # Spark reuses the repartition exchange for the join — same shuffle
+    # count as before, only the coalescing behavior changes.
+    n_pair_parts = int(
+        keys_with_features.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
     # _kn = 1 keys (the vast majority under selective blocking) cannot emit a
     # pair — drop them before the join so they never shuffle
     cold = keyed.filter((F.col("_kn") >= 2) & (F.col("_kn") <= cfg.hot_key_threshold))
@@ -315,7 +347,10 @@ def fused_block_and_score(
     mega = keyed.filter(F.col("_kn") > cfg.mega_key_threshold)
 
     cold_pairs = (
-        side(cold, 1).join(side(cold, 2), "key").filter(F.col("id1") < F.col("id2"))
+        side(cold, 1)
+        .repartition(n_pair_parts, "key")
+        .join(side(cold, 2), "key")
+        .filter(F.col("id1") < F.col("id2"))
     )
 
     s = cfg.salt_buckets
@@ -328,6 +363,7 @@ def fused_block_and_score(
     ).withColumnRenamed("_salt", "_s2")
     hot_pairs = (
         side(left, 1, extra=("_s1", "_s2"))
+        .repartition(n_pair_parts, "key", "_s1", "_s2")
         .join(side(right, 2, extra=("_s1", "_s2")), ["key", "_s1", "_s2"])
         .filter(F.col("id1") < F.col("id2"))
         .drop("_s1", "_s2")
@@ -355,6 +391,7 @@ def fused_block_and_score(
     )
     mega_pairs = (
         side(chain_left, 1, extra=("_cn2",))
+        .repartition(n_pair_parts, "key", "_cn2")
         .join(
             side(mega.withColumnRenamed("_cn", "_cn2"), 2, extra=("_cn2",)),
             ["key", "_cn2"],
