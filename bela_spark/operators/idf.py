@@ -210,6 +210,68 @@ def weighted_jaccard_packed_staged(
     return size_bound, wi_expr, wjac_expr
 
 
+def weighted_jaccard_packed_ix_staged(
+    t1: str = "t1",
+    t2: str = "t2",
+    s1: str = "s1",
+    s2: str = "s2",
+    ix: str = "_ix",
+    wi: str = "_wi",
+):
+    """(size_bound, ix_expr, wi_expr, wjac_expr): the packed kernel split so
+    the INTERSECTION itself is a separately projected codegen'd column — the
+    round-5 scaling fix on top of weighted_jaccard_packed_staged.
+
+    Why a third stage: ArrayAggregate is CodegenFallback, so in the two-stage
+    form the array_intersect underneath it evaluates on the INTERPRETED path
+    (boxed elements, generic hash set), and — worse — the blocking-key
+    self-join's WholeStageCodegen pipeline has to END at that projection,
+    materializing every candidate pair as a full-width row carrying BOTH
+    packed token arrays (~2x 320 B). Stage-metric diagnosis at 2M rows
+    (scripts/diag_stages.py) showed the pair stage's per-pair CPU inflating
+    1.43x from 4 to 16 threads with run_time == cpu_time — memory-subsystem
+    stalls from exactly that traffic, the single-JVM bottleneck behind the
+    0.667 4->16 scaling reading (SCALING_r5_quiet_4_16.json).
+
+    Projecting `ix_expr` (gated by the caller) as its own column keeps
+    array_intersect inside whole-stage codegen — specialized primitive-long
+    path, fused INTO the join stage, so the caller can drop both token
+    arrays before any row materializes; only the (typically tiny)
+    intersection array crosses the codegen boundary into the interpreted
+    HOF. `wi_expr` deliberately references `ix` THREE times (null test, size
+    test, aggregate): CollapseProject refuses to inline a non-cheap alias
+    with multiple uses, so the optimizer provably cannot undo the split
+    (tests/test_plans.py pins array_intersect out of the fallback project).
+
+    Contract: project `ix_expr` gated as column `ix` (null when gated off),
+    drop t1/t2, project `wi_expr` as `wi`, then apply `wjac_expr` (reads
+    `wi`). Values are bit-identical to both earlier forms: same integer
+    weight sums, same single double division, null/empty semantics preserved
+    (gated-off -> null wi; empty intersection -> 0)."""
+    ws1, ws2 = F.col(s1), F.col(s2)
+    size_bound = F.when(F.greatest(ws1, ws2) == 0, F.lit(1.0)).otherwise(
+        F.least(ws1, ws2) / F.greatest(ws1, ws2).cast("double")
+    )
+    ix_expr = F.array_intersect(F.col(t1), F.col(t2))
+    ixc = F.col(ix)
+    wi_expr = (
+        F.when(ixc.isNull(), F.lit(None).cast("long"))
+        .when(
+            F.size(ixc) > 0,
+            F.aggregate(
+                ixc,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.bitwiseAND(F.lit(63)),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    wic = F.col(wi)
+    wu = ws1 + ws2 - wic
+    wjac_expr = F.when(wu <= 0, F.lit(1.0)).otherwise(wic / wu.cast("double"))
+    return size_bound, ix_expr, wi_expr, wjac_expr
+
+
 def weighted_jaccard_packed_cols(
     t1: str = "t1", t2: str = "t2", s1: str = "s1", s2: str = "s2"
 ):

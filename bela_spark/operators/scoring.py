@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
 from bela_spark.functions.vectors import cosine_sim
-from bela_spark.operators.idf import weighted_jaccard_packed_staged
+from bela_spark.operators.idf import weighted_jaccard_packed_ix_staged
 
 
 def attach_pair_features(
@@ -208,10 +208,24 @@ def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFra
     # The gated `when` without otherwise leaves _wi null for pairs pruned by
     # the size bound; those get f_jac = 0.0 exactly as before.
     if cfg.idf_weighting:
-        size_bound, wi_expr, wjac = weighted_jaccard_packed_staged(
-            "t1", "t2", "s1", "s2"
+        # Round-5 three-stage split (weighted_jaccard_packed_ix_staged):
+        # stage A projects the GATED intersection itself — codegen-able, so
+        # it fuses into the join's WholeStageCodegen — and drops both token
+        # arrays before any pair row materializes; stage B runs the
+        # interpreted HOF weight-sum over the (typically tiny) intersection
+        # only. The two-stage form ended the join's codegen pipeline at the
+        # CodegenFallback aggregate, materializing every pair at full width
+        # with array_intersect on the interpreted boxed path — measured as
+        # the 1.43x 4->16-thread per-pair CPU inflation in diag_stages.py.
+        size_bound, ix_expr, wi_expr, jac_from_wi = (
+            weighted_jaccard_packed_ix_staged("t1", "t2", "s1", "s2")
         )
-        jac_from_wi = wjac
+        out = (
+            df.withColumn("_ix", F.when(size_bound >= F.lit(gate), ix_expr))
+            .drop("t1", "t2")
+            .withColumn("_wi", wi_expr)
+            .drop("_ix")
+        )
     else:
         s1, s2 = F.size("t1"), F.size("t2")
         size_bound = F.when(
@@ -224,9 +238,8 @@ def _score_exprs(df: DataFrame, cfg: LinkageConfig, use_cosine: bool) -> DataFra
         jac_from_wi = F.when(ju <= 0, F.lit(1.0)).otherwise(
             F.col("_wi") / ju.cast("double")
         )
-    out = df.withColumn(
-        "_wi", F.when(size_bound >= F.lit(gate), wi_expr)
-    ).withColumn(
+        out = df.withColumn("_wi", F.when(size_bound >= F.lit(gate), wi_expr))
+    out = out.withColumn(
         "f_jac", F.when(F.col("_wi").isNull(), F.lit(0.0)).otherwise(jac_from_wi)
     ).drop("_wi").withColumn(
         "f_lev",

@@ -57,10 +57,23 @@ def worker(cpus: int, rows: int) -> None:
     # Sizing memory with parallelism is exactly what a cluster deployment
     # does; without it the measurement under-reports cluster scaling.
     os.environ.setdefault("BELA_SPARK_DRIVER_MEM", "48g")
+    # AQE OFF for the pair-stage job: every pair-stage shuffle is already
+    # explicitly partitioned (pinned repartition on the join keys in all
+    # three tiers, salting for skew), so adaptive re-planning contributes
+    # nothing here — but it inserts a full materialization barrier at every
+    # query stage, serializing the DAG's independent branches. Measured at
+    # 2M rows / 16 threads (scripts/diag_scaling.py, quiet box): 40.4s with
+    # AQE -> 30.4s without (idle cores 20% -> ~5%); the 4-thread arm is
+    # barely affected (utilization was already 98%), i.e. the barriers are
+    # precisely a parallelism tax. A cluster deployment of THIS stage wants
+    # the same setting (submit_linkage.py documents it); AQE stays on in the
+    # general session factory, where unpinned joins do benefit from runtime
+    # coalescing and skew handling.
     spark = get_spark(
         app_name=f"bela-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     def block_and_score(base_df, persist):
         keys = blocking_keys(base_df, cfg)

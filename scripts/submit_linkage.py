@@ -36,10 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
-def build_session(app_name: str) -> SparkSession:
+def build_session(app_name: str, aqe: bool = False) -> SparkSession:
+    # AQE defaults OFF for this job: the linkage pipeline pins every
+    # pair-stage shuffle's partitioning explicitly (repartition on the join
+    # keys per tier, salted grid for skew), so adaptive re-planning has
+    # nothing to improve — while its per-query-stage materialization
+    # barriers serialize the DAG's independent branches (measured at 2M
+    # rows: 25% wall-time tax at 16 threads, scripts/diag_scaling.py).
+    # --aqe re-enables it for runs that mix in un-pinned queries.
     return (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -59,13 +66,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--at-scale", action="store_true",
                    help="use LinkageConfig.at_scale(): IDF-weighted jaccard, "
                    "the corpus-scale-calibrated scorer (recommended >= 10^5 rows)")
+    p.add_argument("--aqe", action="store_true",
+                   help="re-enable adaptive query execution (default off: the "
+                   "pipeline pins its shuffle partitioning, and AQE's stage "
+                   "barriers cost ~25%% wall at high parallelism)")
     args = p.parse_args(argv)
 
     from bela_spark.config import LinkageConfig
     from bela_spark.pipeline import cluster_stats, run_linkage
     from bela_spark.sources import read_repo_files
 
-    spark = build_session("bela-linkage")
+    spark = build_session("bela-linkage", aqe=args.aqe)
     cfg = (
         LinkageConfig.at_scale(checkpoint_dir=args.checkpoint_dir)
         if args.at_scale

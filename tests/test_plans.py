@@ -73,3 +73,42 @@ def test_no_whole_key_content_window_in_pair_stage(spark):
     # straggler shape
     bad = re.findall(r"\], \[key#\d+[^\],]*\], \[norm#\d+", plan)
     assert not bad, f"whole-key content-ordered window in pair-stage plan: {bad}"
+
+
+def test_weighted_intersection_outside_fallback_project(spark):
+    """Round-5 scaling fix (weighted_jaccard_packed_ix_staged): in the IDF
+    pair stage, array_intersect must sit in its OWN projection — separate
+    from the CodegenFallback HOF aggregate — so it runs on the codegen'd
+    primitive path fused into the join, and both token arrays are dropped
+    before any pair row materializes. If a future optimizer rule (or a
+    refactor that references _ix only once) lets CollapseProject inline the
+    intersection back under the aggregate, the same plan line would carry
+    both expressions: the interpreted-path regression measured as the 1.43x
+    per-pair CPU inflation from 4 to 16 threads (scripts/diag_stages.py)."""
+    from pyspark.sql import functions as F
+
+    from bela_spark.config import LinkageConfig
+    from bela_spark.operators.idf import weight_tokens_packed
+    from bela_spark.operators.scoring import fused_block_and_score
+
+    rows = [(f"id{i:03d}", f"body {i:03d}", [i, i + 1, i + 2]) for i in range(40)]
+    df = (
+        spark.createDataFrame(rows, ["rid", "norm", "tokens"])
+        .withColumn("key", F.lit("k"))
+    )
+    df = weight_tokens_packed(df)
+    scored, _ = fused_block_and_score(
+        df, LinkageConfig.at_scale(), persist=False
+    )
+    plan = executed_plan(scored)
+    offending = [
+        line
+        for line in plan.split("\n")
+        if "aggregate(" in line and "array_intersect(" in line
+    ]
+    assert not offending, (
+        "array_intersect inlined under the interpreted HOF aggregate:\n"
+        + "\n".join(o[:200] for o in offending)
+    )
+    # and the intersection must still be there, one projection below
+    assert "array_intersect(" in plan
