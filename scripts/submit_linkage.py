@@ -36,14 +36,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
-def build_session(app_name: str, aqe: bool = False) -> SparkSession:
-    # AQE defaults OFF for this job: the linkage pipeline pins every
-    # pair-stage shuffle's partitioning explicitly (repartition on the join
-    # keys per tier, salted grid for skew), so adaptive re-planning has
-    # nothing to improve — while its per-query-stage materialization
-    # barriers serialize the DAG's independent branches (measured at 2M
-    # rows: 25% wall-time tax at 16 threads, scripts/diag_scaling.py).
-    # --aqe re-enables it for runs that mix in un-pinned queries.
+def build_session(app_name: str, aqe: bool = True) -> SparkSession:
+    # AQE ON by default — measured both ways at 600k rows (round 5): the
+    # full pipeline is ~1.5x FASTER with AQE (99.8s vs 152.6s, identical
+    # outputs) because the un-pinned IDF weight stages and the geometrically
+    # shrinking CC tail want runtime partition coalescing. The isolated
+    # pair stage alone prefers AQE off (its partitioning is pinned and AQE
+    # only adds stage barriers: 30.4s vs 40.4s at 2M rows/16 threads,
+    # bench_scaling.py) — pass --no-aqe for deployments where the pair join
+    # dominates end to end (very large chain windows, scoring-only reruns
+    # from checkpointed weights).
     return (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
@@ -66,17 +68,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--at-scale", action="store_true",
                    help="use LinkageConfig.at_scale(): IDF-weighted jaccard, "
                    "the corpus-scale-calibrated scorer (recommended >= 10^5 rows)")
-    p.add_argument("--aqe", action="store_true",
-                   help="re-enable adaptive query execution (default off: the "
-                   "pipeline pins its shuffle partitioning, and AQE's stage "
-                   "barriers cost ~25%% wall at high parallelism)")
+    p.add_argument("--no-aqe", action="store_true",
+                   help="disable adaptive query execution (wins only when the "
+                   "pinned pair join dominates end to end; the default full "
+                   "pipeline is ~1.5x faster WITH AQE — see build_session)")
     args = p.parse_args(argv)
 
     from bela_spark.config import LinkageConfig
     from bela_spark.pipeline import cluster_stats, run_linkage
     from bela_spark.sources import read_repo_files
 
-    spark = build_session("bela-linkage", aqe=args.aqe)
+    spark = build_session("bela-linkage", aqe=not args.no_aqe)
     cfg = (
         LinkageConfig.at_scale(checkpoint_dir=args.checkpoint_dir)
         if args.at_scale
