@@ -100,7 +100,14 @@ def weight_tokens(
             F.coalesce(F.sum("_w"), F.lit(0).cast("long")).alias(ws_col),
         )
     )
-    return df.drop(token_col).join(tw, id_col)
+    # tw is one row PER RECORD — row-proportional, so its join strategy must
+    # never depend on a size estimate: AQE's broadcast conversion reads the
+    # COMPRESSED shuffle size, and repetitive corpora compress well enough
+    # (measured ~20x on templated content) that a >1 GiB relation can slip
+    # under the 64 MB threshold and then blow spark.driver.maxResultSize on
+    # the broadcast collect (reproduced at 16M rows). Pin the shuffled hash
+    # join, like every other row-proportional join in the pipeline.
+    return df.drop(token_col).join(tw.hint("shuffle_hash"), id_col)
 
 
 def weight_tokens_packed(
@@ -140,7 +147,10 @@ def weight_tokens_packed(
             F.coalesce(F.sum("_w"), F.lit(0).cast("long")).alias(ws_col),
         )
     )
-    return df.drop(token_col).join(tw, id_col)
+    # row-proportional join: pinned shuffled-hash for the same reason as
+    # weight_tokens above (AQE broadcast conversion on compressed-size
+    # misestimates must never see a per-record frame)
+    return df.drop(token_col).join(tw.hint("shuffle_hash"), id_col)
 
 
 def weighted_jaccard_cols(

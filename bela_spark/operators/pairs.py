@@ -311,7 +311,10 @@ def candidate_pairs_with_drops(
     feat_cols: list[str] = []
     if features is not None:
         feat_cols = [c for c in features.columns if c != id_col]
-        kept = kept.join(features, id_col)
+        # one feature row per record — pinned shuffled-hash so no size
+        # estimate can ever broadcast a row-proportional frame (see
+        # pipeline.run_linkage for the measured 16M-row failure mode)
+        kept = kept.join(features.hint("shuffle_hash"), id_col)
 
     def side(df: DataFrame, n: int, extra: Sequence[str] = ()) -> DataFrame:
         cols = [F.col(id_col).alias(f"id{n}")] + [
@@ -322,8 +325,12 @@ def candidate_pairs_with_drops(
     cold = kept.filter(F.col("_eff") <= cfg.hot_key_threshold)
     hot = kept.filter(F.col("_eff") > cfg.hot_key_threshold)
 
+    # merge hints on the self-joins: same rationale as fused_block_and_score
+    # (row-proportional sides must never be broadcast-converted)
     cold_pairs = (
-        side(cold, 1).join(side(cold, 2), "key").filter(F.col("id1") < F.col("id2"))
+        side(cold, 1)
+        .join(side(cold, 2).hint("merge"), "key")
+        .filter(F.col("id1") < F.col("id2"))
     )
 
     s = cfg.salt_buckets
@@ -338,7 +345,10 @@ def candidate_pairs_with_drops(
     ).withColumnRenamed("_salt", "_s2")
     hot_pairs = (
         side(left, 1, extra=("_s1", "_s2"))
-        .join(side(right, 2, extra=("_s1", "_s2")), ["key", "_s1", "_s2"])
+        .join(
+            side(right, 2, extra=("_s1", "_s2")).hint("merge"),
+            ["key", "_s1", "_s2"],
+        )
         .filter(F.col("id1") < F.col("id2"))
         .drop("_s1", "_s2")
     )

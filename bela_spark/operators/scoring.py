@@ -359,10 +359,15 @@ def fused_block_and_score(
     )
     mega = keyed.filter(F.col("_kn") > cfg.mega_key_threshold)
 
+    # the tier self-joins carry row-proportional sides: hint("merge") pins
+    # the sort-merge shape the scaling work measured (SCALING.json) AND
+    # stops AQE from broadcast-converting a side whose COMPRESSED shuffle
+    # bytes under-read its true size (~20x on templated content — the
+    # 16M-row maxResultSize failure mode; see pipeline.run_linkage)
     cold_pairs = (
         side(cold, 1)
         .repartition(n_pair_parts, "key")
-        .join(side(cold, 2), "key")
+        .join(side(cold, 2).hint("merge"), "key")
         .filter(F.col("id1") < F.col("id2"))
     )
 
@@ -377,7 +382,10 @@ def fused_block_and_score(
     hot_pairs = (
         side(left, 1, extra=("_s1", "_s2"))
         .repartition(n_pair_parts, "key", "_s1", "_s2")
-        .join(side(right, 2, extra=("_s1", "_s2")), ["key", "_s1", "_s2"])
+        .join(
+            side(right, 2, extra=("_s1", "_s2")).hint("merge"),
+            ["key", "_s1", "_s2"],
+        )
         .filter(F.col("id1") < F.col("id2"))
         .drop("_s1", "_s2")
     )
@@ -406,7 +414,9 @@ def fused_block_and_score(
         side(chain_left, 1, extra=("_cn2",))
         .repartition(n_pair_parts, "key", "_cn2")
         .join(
-            side(mega.withColumnRenamed("_cn", "_cn2"), 2, extra=("_cn2",)),
+            side(mega.withColumnRenamed("_cn", "_cn2"), 2, extra=("_cn2",)).hint(
+                "merge"
+            ),
             ["key", "_cn2"],
         )
         .drop("_cn2")

@@ -161,10 +161,15 @@ def run_linkage(
         ["embedding"] if (use_embeddings or batched_scoring) else []
     )
     keys = blocking_keys(base, cfg)
+    # one feature row PER RECORD: pin the shuffled hash join so AQE can
+    # never broadcast-convert it — on repetitive corpora the compressed
+    # shuffle bytes under-read the true relation size by ~20x, and a
+    # broadcast of a per-record frame is a driver OOM / maxResultSize
+    # failure at scale (reproduced at 16M rows before this pin)
     keys_with_features = keys.join(
         pair_stage_features(
             base, cfg, use_embeddings=use_embeddings or batched_scoring
-        ),
+        ).hint("shuffle_hash"),
         "rid",
     )
     if persist:
@@ -198,8 +203,10 @@ def run_linkage(
     if collapse_exact:
         # expand: every record inherits its representative's component
         rep_assign = cc.assignments.withColumnRenamed("rid", "rep")
+        # assignments are row-proportional (one row per clustered record):
+        # pinned shuffled-hash, never a size-estimated broadcast
         clusters = (
-            records.join(rep_assign, "rep", "left")
+            records.join(rep_assign.hint("shuffle_hash"), "rep", "left")
             .withColumn("cluster_id", F.coalesce("component", "rep"))
             .drop("component", "rep")
         )
@@ -213,7 +220,8 @@ def run_linkage(
 
 def assign_clusters(records: DataFrame, assignments: DataFrame) -> DataFrame:
     """C6: join components back; singletons become their own cluster."""
-    return records.join(assignments, "rid", "left").withColumn(
+    # row-proportional right side — pinned shuffled-hash (see run_linkage)
+    return records.join(assignments.hint("shuffle_hash"), "rid", "left").withColumn(
         "cluster_id", F.coalesce("component", "rid")
     ).drop("component")
 

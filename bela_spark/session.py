@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the ContextCleaner frees shuffle files and dropped RDD/checkpoint
+        # blocks only after a JVM GC notices the reference is dead; the
+        # default periodic System.gc() every 30 MIN lets an iterative job
+        # (CC rounds, multi-tier pair stages) accumulate dead scratch far
+        # beyond live working-set — measured: a 16M-row linkage run filled
+        # 80 GB of local disk with blocks whose frames had long been
+        # dereferenced. 5 min bounds dead-scratch lifetime at negligible GC
+        # cost; long-running cluster deployments want the same setting.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -52,6 +52,12 @@ def build_session(app_name: str, aqe: bool = True) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # bound dead-scratch lifetime on long runs: the ContextCleaner frees
+        # shuffle files / dropped checkpoint blocks only after a JVM GC, and
+        # the default periodic GC every 30 min let a 16M-row run exhaust
+        # local disk on blocks that were already dereferenced (see
+        # bela_spark/session.py for the measurement)
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .getOrCreate()
     )
 

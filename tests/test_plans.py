@@ -112,3 +112,42 @@ def test_weighted_intersection_outside_fallback_project(spark):
     )
     # and the intersection must still be there, one projection below
     assert "array_intersect(" in plan
+
+
+def test_no_row_proportional_broadcast_in_linkage_final_plan(spark):
+    """Round-5 scale fix: AQE's broadcast conversion decides on COMPRESSED
+    shuffle bytes, and repetitive corpora compress ~20x — at 16M rows a
+    >1 GiB per-record frame read under the 64 MB threshold and the broadcast
+    collect blew spark.driver.maxResultSize. Every row-proportional join in
+    the linkage path is therefore pinned (shuffle_hash for record-level
+    joins, merge for the tier self-joins); the only legitimately
+    broadcastable frame is the chained tier's per-(chunk, key) offsets,
+    which is bounded by chunks x keys, not rows.
+
+    This test maximizes conversion pressure: at fixture scale EVERY side is
+    tiny, so without the hints AQE broadcasts every join. The FINAL adaptive
+    plan (after materialization) must contain no BroadcastHashJoin except
+    ones keyed on _chunk (the offsets join)."""
+    from bela_spark.config import LinkageConfig
+    from bela_spark.fixtures import synth_repo_files
+    from bela_spark.pipeline import run_linkage
+
+    df = synth_repo_files(spark, 400, seed=7)
+    # force all three key tiers so the chained offsets join is in the plan
+    cfg = LinkageConfig.at_scale(
+        hot_key_threshold=2, mega_key_threshold=4, chain_window=2
+    )
+    run = run_linkage(df, cfg, collapse_exact=True, persist=False)
+    run.scored_by_key.count()
+    run.clusters.count()
+    for name, frame in (("scored_by_key", run.scored_by_key), ("clusters", run.clusters)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        offending = [
+            line.strip()[:200]
+            for line in plan.split("\n")
+            if "BroadcastHashJoin" in line and "_chunk" not in line
+        ]
+        assert not offending, (
+            f"{name}: row-proportional join broadcast in the final plan:\n"
+            + "\n".join(offending)
+        )
