@@ -105,9 +105,14 @@ def weight_tokens(
     # COMPRESSED shuffle size, and repetitive corpora compress well enough
     # (measured ~20x on templated content) that a >1 GiB relation can slip
     # under the 64 MB threshold and then blow spark.driver.maxResultSize on
-    # the broadcast collect (reproduced at 16M rows). Pin the shuffled hash
-    # join, like every other row-proportional join in the pipeline.
-    return df.drop(token_col).join(tw.hint("shuffle_hash"), id_col)
+    # the broadcast collect (reproduced at 16M rows). Pin hint("merge"), not
+    # shuffle_hash: when BOTH sides are row-proportional there is no bounded
+    # build side, and hash-building an unbounded side is bandwidth-hostile —
+    # measured at 2M rows on the scaling arms, shuffle_hash here read 0.79
+    # efficiency 4->16 cores (hash-probe random access) vs 0.9 for the
+    # sort-merge shape. The repo's shuffle_hash joins (counts, reps, dfreq)
+    # all have bounded build sides; that is the rule.
+    return df.drop(token_col).join(tw.hint("merge"), id_col)
 
 
 def weight_tokens_packed(
@@ -147,10 +152,10 @@ def weight_tokens_packed(
             F.coalesce(F.sum("_w"), F.lit(0).cast("long")).alias(ws_col),
         )
     )
-    # row-proportional join: pinned shuffled-hash for the same reason as
-    # weight_tokens above (AQE broadcast conversion on compressed-size
-    # misestimates must never see a per-record frame)
-    return df.drop(token_col).join(tw.hint("shuffle_hash"), id_col)
+    # row-proportional x row-proportional: pinned sort-merge for the same
+    # reasons as weight_tokens above (no size-estimated broadcast, no
+    # unbounded hash build)
+    return df.drop(token_col).join(tw.hint("merge"), id_col)
 
 
 def weighted_jaccard_cols(

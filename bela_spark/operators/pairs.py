@@ -311,10 +311,10 @@ def candidate_pairs_with_drops(
     feat_cols: list[str] = []
     if features is not None:
         feat_cols = [c for c in features.columns if c != id_col]
-        # one feature row per record — pinned shuffled-hash so no size
-        # estimate can ever broadcast a row-proportional frame (see
+        # one feature row per record — pinned sort-merge so no size estimate
+        # can ever broadcast a row-proportional frame (see
         # pipeline.run_linkage for the measured 16M-row failure mode)
-        kept = kept.join(features.hint("shuffle_hash"), id_col)
+        kept = kept.join(features.hint("merge"), id_col)
 
     def side(df: DataFrame, n: int, extra: Sequence[str] = ()) -> DataFrame:
         cols = [F.col(id_col).alias(f"id{n}")] + [

@@ -161,15 +161,17 @@ def run_linkage(
         ["embedding"] if (use_embeddings or batched_scoring) else []
     )
     keys = blocking_keys(base, cfg)
-    # one feature row PER RECORD: pin the shuffled hash join so AQE can
-    # never broadcast-convert it — on repetitive corpora the compressed
-    # shuffle bytes under-read the true relation size by ~20x, and a
-    # broadcast of a per-record frame is a driver OOM / maxResultSize
-    # failure at scale (reproduced at 16M rows before this pin)
+    # one feature row PER RECORD: pin the join strategy so AQE can never
+    # broadcast-convert it — on repetitive corpora the compressed shuffle
+    # bytes under-read the true relation size by ~20x, and a broadcast of a
+    # per-record frame is a driver OOM / maxResultSize failure at scale
+    # (reproduced at 16M rows before this pin). hint("merge") rather than
+    # shuffle_hash: both sides are row-proportional, so there is no bounded
+    # build side to hash (the rule documented at idf.weight_tokens)
     keys_with_features = keys.join(
         pair_stage_features(
             base, cfg, use_embeddings=use_embeddings or batched_scoring
-        ).hint("shuffle_hash"),
+        ).hint("merge"),
         "rid",
     )
     if persist:
@@ -204,9 +206,9 @@ def run_linkage(
         # expand: every record inherits its representative's component
         rep_assign = cc.assignments.withColumnRenamed("rid", "rep")
         # assignments are row-proportional (one row per clustered record):
-        # pinned shuffled-hash, never a size-estimated broadcast
+        # pinned sort-merge, never a size-estimated broadcast
         clusters = (
-            records.join(rep_assign.hint("shuffle_hash"), "rep", "left")
+            records.join(rep_assign.hint("merge"), "rep", "left")
             .withColumn("cluster_id", F.coalesce("component", "rep"))
             .drop("component", "rep")
         )
@@ -220,8 +222,8 @@ def run_linkage(
 
 def assign_clusters(records: DataFrame, assignments: DataFrame) -> DataFrame:
     """C6: join components back; singletons become their own cluster."""
-    # row-proportional right side — pinned shuffled-hash (see run_linkage)
-    return records.join(assignments.hint("shuffle_hash"), "rid", "left").withColumn(
+    # row-proportional right side — pinned sort-merge (see run_linkage)
+    return records.join(assignments.hint("merge"), "rid", "left").withColumn(
         "cluster_id", F.coalesce("component", "rid")
     ).drop("component")
 

@@ -44,15 +44,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # the ContextCleaner frees shuffle files and dropped RDD/checkpoint
-        # blocks only after a JVM GC notices the reference is dead; the
-        # default periodic System.gc() every 30 MIN lets an iterative job
-        # (CC rounds, multi-tier pair stages) accumulate dead scratch far
-        # beyond live working-set — measured: a 16M-row linkage run filled
-        # 80 GB of local disk with blocks whose frames had long been
-        # dereferenced. 5 min bounds dead-scratch lifetime at negligible GC
-        # cost; long-running cluster deployments want the same setting.
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        # NOTE on spark.cleaner.periodicGC.interval (left at the stock 30min
+        # here, deliberately): the ContextCleaner frees shuffle files and
+        # dropped checkpoint blocks only after a JVM GC notices the dead
+        # reference, so a LONG iterative job accumulates dead scratch for up
+        # to the interval — a 16M-row linkage run filled 80 GB of local disk
+        # that way. Jobs that run for tens of minutes must shorten it
+        # (submit_linkage.py pins 5min; the 16M robustness run used 2min via
+        # extra_conf). It is NOT shortened globally because the forced
+        # System.gc() stalls every executor thread: measured +5% on a
+        # 16-thread pair-stage pass (31.7s vs 30.0s best-of-3) — a pure tax
+        # on the short jobs (tests, bench, oracle sweeps) this factory
+        # mostly serves, which never live long enough for disk to bind.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

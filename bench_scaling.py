@@ -73,7 +73,13 @@ def worker(cpus: int, rows: int) -> None:
         app_name=f"bela-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # BELA_SCALE_EXTRA_CONF: JSON dict of session confs for
+            # single-arm A/B experiments (codec, GC, partitioning) without
+            # editing this file
+            **json.loads(os.environ.get("BELA_SCALE_EXTRA_CONF", "{}")),
+        },
     )
     def block_and_score(base_df, persist):
         keys = blocking_keys(base_df, cfg)
@@ -267,7 +273,24 @@ def main() -> None:
     )
     probes = {"before": host_probe(arms)}
     results = {}
+
+    def _settle(max_wait: int = 180, quiet: float = 1.5) -> None:
+        # arm isolation: the previous arm's JVM teardown + page-cache churn
+        # leave the box with a decaying load for ~1-2 min, which lands
+        # asymmetrically on whichever arm runs SECOND (measured: the 16-core
+        # arm read 30.9-32.1s in-sequence vs 30.0s isolated on the same
+        # quiet box). Wait for the 1-min load to drop below `quiet` before
+        # launching the next arm so arm order stops mattering.
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+            if load1 < quiet:
+                return
+            time.sleep(10)
+
     for cpus in arms:
+        _settle()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), str(rows)],
             capture_output=True,
