@@ -196,9 +196,21 @@ def run_linkage(
         edges = accept_edges(scored, cfg)
     else:
         scored = dedup_scored(scored_by_key)
-        # threshold BEFORE dedup: the accepted-edge set is tiny next to the
-        # scored-pair set, so distinct() runs on the small side
-        edges = accept_edges(scored_by_key, cfg)
+        if persist:
+            # ONE pair-stage pass per run (r6): persist the deduped scored
+            # pairs and derive the edge set from the cache, so CC's edge
+            # materialization, the caller's count and the (untimed) bench F1
+            # gate all read the same computed-once frame — bench.py already
+            # assumed this handle was persisted (it unpersists run.scored).
+            # Identical edge set either way: scores of a pair are equal
+            # across keys, so filter-then-distinct over the per-key frame ==
+            # filter over the deduped frame.
+            scored = scored.persist()
+            edges = accept_edges(scored, cfg)
+        else:
+            # threshold BEFORE dedup: the accepted-edge set is tiny next to
+            # the scored-pair set, so distinct() runs on the small side
+            edges = accept_edges(scored_by_key, cfg)
     cc = connected_components(
         edges, max_rounds=cfg.max_cc_rounds, checkpoint_dir=cfg.checkpoint_dir
     )

@@ -104,9 +104,15 @@ class IncrementalLinkage:
         # record can produce new pairs
         touched = keys.join(new_ids, "rid", "left_semi").select("key").distinct()
         keys_touched = keys.join(F.broadcast(touched), "key")
+        # slim the pair-stage payload before it is multiplied by the key
+        # fan-out (guide §2.3): the scorer only ever reads the first
+        # lev_max_chars of norm (substring is idempotent, so scores are
+        # bit-identical), and the full norm already lives in the state table
         kwf = keys_touched.join(
             all_records.select(
-                "rid", "norm", F.array_distinct("tokens").alias("tokens")
+                "rid",
+                F.substring("norm", 1, cfg.lev_max_chars).alias("norm"),
+                F.array_distinct("tokens").alias("tokens"),
             ),
             "rid",
         )

@@ -94,3 +94,58 @@ def test_empty_edges(spark):
     e = spark.createDataFrame([], "id1 string, id2 string")
     res = connected_components(e)
     assert res.assignments.count() == 0
+
+
+# --- round-6 execution strategies (union-find local finish, surrogate-long
+# rounds, settled-star frontier split) must all produce identical components -
+
+
+def _chain_plus_cliques(spark):
+    """A graph mixing long chains (diameter stress) with cliques and
+    singleton pairs — enough structure that the distributed loop needs
+    several rounds and the frontier split has settled stars to peel."""
+    edges = []
+    ids = [f"c{i:03d}" for i in range(40)]
+    edges += list(zip(ids, ids[1:]))                     # one 40-node chain
+    for g in range(6):                                   # six 4-cliques
+        mem = [f"k{g}{j}" for j in range(4)]
+        edges += [(a, b) for i, a in enumerate(mem) for b in mem[i + 1:]]
+    edges += [(f"p{i}a", f"p{i}b") for i in range(10)]   # ten isolated pairs
+    return _edges(spark, edges)
+
+
+def test_local_finish_equals_distributed_rounds(spark):
+    """Default path (union-find local finish) == forced distributed star
+    rounds (local_finish_max_edges=0) on the same graph."""
+    e = _chain_plus_cliques(spark)
+    fast = connected_components(e)
+    slow = connected_components(e, local_finish_max_edges=0)
+    assert fast.converged and slow.converged
+    assert _comp_map(fast) == _comp_map(slow)
+
+
+def test_mid_loop_local_finish(spark):
+    """A bound between 0 and the input size forces: distributed round(s) on
+    surrogate longs + frontier split, THEN the union-find on the residue."""
+    e = _chain_plus_cliques(spark)
+    want = _comp_map(connected_components(e, local_finish_max_edges=0))
+    mid = connected_components(e, local_finish_max_edges=30)
+    assert mid.converged
+    assert _comp_map(mid) == want
+
+
+def test_checkpoint_local_finish_round_is_resumable(spark, tmp_path):
+    """The checkpointed path persists the union-find round like any other
+    round; a resume from it must confirm the fixed point and return the
+    identical assignments."""
+    ckpt = str(tmp_path / "cc_r6")
+    e = _chain_plus_cliques(spark)
+    full = connected_components(e, checkpoint_dir=ckpt)
+    want = _comp_map(full)
+    assert full.converged
+    resumed = connected_components(e, checkpoint_dir=ckpt, resume=True)
+    assert _comp_map(resumed) == want
+    # and with the local finish disabled the same checkpoint semantics hold
+    ckpt2 = str(tmp_path / "cc_r6_dist")
+    dist = connected_components(e, checkpoint_dir=ckpt2, local_finish_max_edges=0)
+    assert _comp_map(dist) == want
