@@ -56,9 +56,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, norm, tokens): the ER record table."""
+    """documents -> (doc_id, norm, tokens): the ER record table.
+
+    The explicit repartition spreads the scan before the CPU-dense derived
+    work (normalize/tokenize here, 16x md5 minhash / simhash votes / winnow
+    k-grams downstream): documents.parquet is a single small file, so the
+    scan is ONE input split and everything fused onto it ran single-task —
+    measured 3.9s of serial CPU in the er_edges stage profile (r6). The
+    exchange moves a few hundred KB; the round-robin split is deterministic
+    (sortBeforeRepartition) and row-level results are partitioning-invariant."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         _docs(spark, sf_dir)
+        .repartition(n_parts)
         .withColumn("norm", normalized("text"))
         .withColumn("tokens", tokens_of("norm"))
         .select("doc_id", "lang", "source", "norm", "tokens")
@@ -212,17 +222,30 @@ def er_key_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_pairs(spark, sf_dir) -> DataFrame:
+    # The feature joins carry repartition-on-the-join-key pins (the
+    # fused_block_and_score pattern): pair scoring is CPU-dense but
+    # byte-light, and AQE's byte-based coalescing collapsed the post-join
+    # stage to ONE task — the full-norm Levenshtein of every candidate pair
+    # ran serially (measured: a 1-task 9.9s-CPU stage in er_edges, r6; the
+    # filter also pushes below any later repartition, so the pin must sit ON
+    # the join). AQE never coalesces REPARTITION_BY_NUM stages and the other
+    # join side must align, so the scoring projection/filter spreads over the
+    # full shuffle-partition count; Spark reuses the repartition exchange for
+    # the join, so the exchange count is unchanged.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
     r = _records(spark, sf_dir).select(
         "doc_id", "norm", F.array_distinct("tokens").alias("toks")
     )
     j = (
-        pairs.join(
+        pairs.repartition(n_parts, "id1")
+        .join(
             r.select(
                 F.col("doc_id").alias("id1"), F.col("norm").alias("n1"), F.col("toks").alias("t1")
             ),
             "id1",
         )
+        .repartition(n_parts, "id2")
         .join(
             r.select(
                 F.col("doc_id").alias("id2"), F.col("norm").alias("n2"), F.col("toks").alias("t2")
@@ -301,12 +324,15 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two bit-equal, so this oracle covers both."""
     from bela_spark.operators.idf import weight_tokens, weighted_jaccard_cols
 
+    # join-key repartition pins: same single-task-Levenshtein fix as
+    # _scored_pairs (AQE byte-based coalescing vs CPU-dense scoring)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
     r = _records(spark, sf_dir).select(
         "doc_id", "norm", F.array_distinct("tokens").alias("tokens")
     )
     tw = weight_tokens(r, "doc_id", "tokens")
-    j = pairs.join(
+    j = pairs.repartition(n_parts, "id1").join(
         tw.select(
             F.col("doc_id").alias("id1"),
             F.col("norm").alias("n1"),
@@ -314,7 +340,7 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ws").alias("s1"),
         ),
         "id1",
-    ).join(
+    ).repartition(n_parts, "id2").join(
         tw.select(
             F.col("doc_id").alias("id2"),
             F.col("norm").alias("n2"),
