@@ -493,8 +493,12 @@ def _connected_components_local(
     n0 = cur0.count()
     if n0 <= lim:
         stars = _local_star_edges(cur0).localCheckpoint()
+        # the union-find pass counts as one round (the checkpointed path
+        # persists it as a real round file, so the accounting matches)
         return CCResult(
-            assignments=_star_assignments(stars), rounds=0, converged=True
+            assignments=_star_assignments(stars),
+            rounds=1 if n0 else 0,
+            converged=True,
         )
 
     nodes = (
@@ -537,6 +541,7 @@ def _connected_components_local(
             break
         if fn <= lim:
             cur = _local_star_edges(frontier).localCheckpoint()
+            rounds_done = rnd + 1  # the union-find pass counts as a round
             converged = True
             break
 

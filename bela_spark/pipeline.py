@@ -56,7 +56,14 @@ def prepare_records(
     )
     if use_embeddings:
         rec = rec.withColumn("embedding", embed_text(cfg.embedding_dim, cfg.seed)("norm"))
-    return rec
+    # The raw content payload is fully absorbed into content_sha/norm/tokens
+    # at this point and nothing downstream reads it; dropping it here keeps
+    # the ~600 B/row body out of the records cache (its columnar build was
+    # the single biggest CPU stage of the bench pass: 240 s over 64 tasks,
+    # r6 stage profile) and out of the collapse join + cluster-assignment
+    # shuffles (guide §2.3). Callers that need the body downstream re-join
+    # it by rid/content_sha from the source.
+    return rec.drop("content")
 
 
 def pair_stage_features(
