@@ -55,6 +55,17 @@ def lsh_keys(records: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> Dat
     )
 
 
-def blocking_keys(records: DataFrame, cfg: LinkageConfig, id_col: str = "rid") -> DataFrame:
-    """Union of all key families: (rid, key), deduplicated."""
-    return prefix_keys(records, cfg, id_col).unionByName(lsh_keys(records, cfg, id_col)).distinct()
+def blocking_keys(
+    records: DataFrame, cfg: LinkageConfig, id_col: str = "rid", dedup: bool = True
+) -> DataFrame:
+    """Union of all key families: (rid, key), deduplicated.
+
+    dedup=False skips the distinct — valid because (rid, key) is UNIQUE by
+    construction: prefix_keys emits at most one row per record, lsh_keys one
+    row per (record, band) with the band index embedded in the key string,
+    and the families are namespaced ('pfx:' vs 'mh:'), so no two emitted rows
+    can ever be equal and the distinct is a pure no-op exchange (r6: one full
+    shuffle of the widest pre-pair frame saved; run_linkage uses this).
+    Callers that add NON-namespaced key families must keep dedup=True."""
+    keys = prefix_keys(records, cfg, id_col).unionByName(lsh_keys(records, cfg, id_col))
+    return keys.distinct() if dedup else keys

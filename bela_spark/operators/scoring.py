@@ -263,6 +263,7 @@ def fused_block_and_score(
     id_col: str = "rid",
     use_cosine: bool = False,
     persist: bool = True,
+    counts_attached: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The at-scale pair stage: score INSIDE the blocking-key self-join.
 
@@ -311,9 +312,19 @@ def fused_block_and_score(
     # (run_linkage does exactly that via LinkageRun.keys_features) — an
     # unconditional persist here would be an unreleasable second cache of
     # the pair stage for the life of the session.
-    keyed = keyed_with_counts(keys_with_features)
-    if persist:
-        keyed = keyed.persist()
+    #
+    # counts_attached=True: the caller already carries `_kn` on the input
+    # (run_linkage r6: counts are aggregated over the SLIM (rid, key) frame
+    # BEFORE the feature join — the key-gen/feature join is 1:1 per rid, so
+    # the per-key cardinalities are identical — and the joined frame is the
+    # caller's ONE persisted cache). Skips both the wide-row counts join and
+    # the duplicate internal persist that double-cached the pair-stage input.
+    if counts_attached:
+        keyed = keys_with_features
+    else:
+        keyed = keyed_with_counts(keys_with_features)
+        if persist:
+            keyed = keyed.persist()
 
     key_log = (
         keyed.filter(F.col("_kn") > cfg.hot_key_threshold)

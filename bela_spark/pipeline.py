@@ -167,7 +167,21 @@ def run_linkage(
     feature_cols = ["norm", "tokens"] + (
         ["embedding"] if (use_embeddings or batched_scoring) else []
     )
-    keys = blocking_keys(base, cfg)
+    # dedup=False: (rid, key) is unique by construction (namespaced families,
+    # band index in the key string) — see blocking_keys; the distinct this
+    # skips was a pure no-op exchange of the widest pre-pair frame (r6).
+    keys = blocking_keys(base, cfg, dedup=False)
+    # key cardinalities aggregated over the SLIM (rid, key) frame BEFORE the
+    # feature join (r6): the key-gen/feature join below is 1:1 per rid
+    # (pair_stage_features emits exactly one row per base record), so the
+    # per-key counts are identical to counting after the join — but the
+    # counts shuffle + shuffle-hash probe now carry ~100 B/row instead of the
+    # full feature payload, and fused_block_and_score no longer needs its own
+    # counts join + internal persist: ONE cache (this frame) feeds the whole
+    # pair stage instead of two near-identical wide caches (guide §2.3).
+    from bela_spark.operators.pairs import keyed_with_counts
+
+    keys = keyed_with_counts(keys)
     # one feature row PER RECORD: pin the join strategy so AQE can never
     # broadcast-convert it — on repetitive corpora the compressed shuffle
     # bytes under-read the true relation size by ~20x, and a broadcast of a
@@ -182,14 +196,18 @@ def run_linkage(
         "rid",
     )
     if persist:
-        # the counts join inside fused_block_and_score reads this frame
-        # twice at materialization; cache it and KEEP THE HANDLE
-        # (LinkageRun.keys_features) so callers can release it — an
-        # anonymous persist would be dead weight once the joined frame
-        # is cached
+        # the tier filters + range boundaries + key log inside
+        # fused_block_and_score all read this frame at materialization;
+        # cache it and KEEP THE HANDLE (LinkageRun.keys_features) so callers
+        # can release it — an anonymous persist would be dead weight once
+        # the joined frame is cached
         keys_with_features = keys_with_features.persist()
     scored_by_key, drops = fused_block_and_score(
-        keys_with_features, cfg, use_cosine=use_embeddings, persist=persist
+        keys_with_features,
+        cfg,
+        use_cosine=use_embeddings,
+        persist=persist,
+        counts_attached=True,
     )
     pairs = scored_by_key.select("id1", "id2", "key")
 
