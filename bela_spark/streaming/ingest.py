@@ -98,7 +98,9 @@ class IncrementalLinkage:
             .localCheckpoint()
         )
 
-        keys = blocking_keys(all_records, cfg)
+        # dedup=False: (rid, key) unique by construction (see blocking_keys)
+        # — saves one distinct exchange per micro-batch
+        keys = blocking_keys(all_records, cfg, dedup=False)
         new_ids = new_records.select("rid").distinct()
         # bound work to keys touched by this batch: only keys containing a new
         # record can produce new pairs
