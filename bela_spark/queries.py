@@ -232,6 +232,14 @@ def _scored_pairs(spark, sf_dir) -> DataFrame:
     # join side must align, so the scoring projection/filter spreads over the
     # full shuffle-partition count; Spark reuses the repartition exchange for
     # the join, so the exchange count is unchanged.
+    # NOTE (r6): AQE broadcast-converts these joins (the pair side compresses
+    # under the 64 MB threshold), which bypasses the repartition pins — but a
+    # paired A/B (same session, alternating, 3 rounds) read 6.2s broadcast vs
+    # 7.0s with forced merge joins: the lev+jaccard projection over ~14k
+    # pairs is cheap enough that the avoided sorts beat the lost
+    # parallelism, so the hints stay OFF here. The IDF variant below, whose
+    # per-pair kernel is ~10x heavier and measurably serialized (13.4s
+    # single-task stage), pins merge.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = er_candidate_pairs(spark, sf_dir).select("id1", "id2").distinct()
     r = _records(spark, sf_dir).select(
@@ -332,13 +340,24 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "norm", F.array_distinct("tokens").alias("tokens")
     )
     tw = weight_tokens(r, "doc_id", "tokens")
+    # hint("merge") on top of the repartition pins (r6): AQE broadcast-
+    # converts these joins otherwise (the pair side compresses under the
+    # 64 MB threshold), and a broadcast join erases the pinned build-side
+    # partitioning — the weighted scoring projection then lands on the tiny
+    # probe side, which AQE's byte-based coalescing collapses to ONE task
+    # (measured: a 13.4s single-task ResultQueryStage running the full-norm
+    # Levenshtein + map-probe weighted jaccard of every pair serially). The
+    # merge hint survives AQE replanning, so the scoring fuses into the
+    # pinned n_parts join stage: min-of-2 19.7s -> 12.0s. The unweighted
+    # _scored_pairs keeps broadcast (its projection is ~10x cheaper and the
+    # paired A/B favored the avoided sorts — see the note there).
     j = pairs.repartition(n_parts, "id1").join(
         tw.select(
             F.col("doc_id").alias("id1"),
             F.col("norm").alias("n1"),
             F.col("tokens").alias("t1"),
             F.col("ws").alias("s1"),
-        ),
+        ).hint("merge"),
         "id1",
     ).repartition(n_parts, "id2").join(
         tw.select(
@@ -346,7 +365,7 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("n2"),
             F.col("tokens").alias("t2"),
             F.col("ws").alias("s2"),
-        ),
+        ).hint("merge"),
         "id2",
     )
     _, wjac = weighted_jaccard_cols("t1", "t2", "s1", "s2")

@@ -74,6 +74,28 @@ def main() -> None:
     ):
         dump(name, getattr(q, name)(spark, SF_DIR))
 
+    # ann_topk: the brute-force anchor rewritten to the mapInPandas kernel in
+    # r6 (no before-file was captured at round start, so the before plan is
+    # the old shape reproduced verbatim: broadcast crossJoin + interpreted
+    # aggregate(zip_with) fold + row_number window)
+    if tag == "after":
+        from pyspark.sql import Window as W
+
+        from bela_spark.functions.vectors import dot_product
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qq = e.select("vec_id", F.col("embedding").alias("qe"))
+        cc = F.broadcast(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        )
+        pairs = qq.crossJoin(cc).filter(F.col("vec_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn("ip_score", dot_product("qe", "ce")).drop("qe", "ce")
+        w = W.partitionBy("vec_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
+        old = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+        with open(os.path.join(OUT, "ann_topk_before.txt"), "w") as f:
+            f.write(formatted(old))
+        dump("ann_topk", q.ann_topk(spark, SF_DIR))
+
     spark.stop()
 
 
