@@ -34,7 +34,8 @@ from bela_spark.operators.scoring import (
 @dataclass
 class LinkageRun:
     records: DataFrame        # rid, content_sha, norm, tokens, (embedding), input cols
-    keys: DataFrame           # rid, key
+    keys: DataFrame           # rid, key, _kn — pair-eligible key rows only
+                              # (_kn >= 2; a singleton key cannot emit a pair)
     key_drops: DataFrame      # key, n_ids, n_dropped (never silent truncation)
     pairs: DataFrame          # id1, id2, key
     scored_by_key: DataFrame  # id1, id2, key, features..., score (per blocking key)
@@ -170,7 +171,15 @@ def run_linkage(
     # dedup=False: (rid, key) is unique by construction (namespaced families,
     # band index in the key string) — see blocking_keys; the distinct this
     # skips was a pure no-op exchange of the widest pre-pair frame (r6).
-    keys = blocking_keys(base, cfg, dedup=False)
+    keys_slim = blocking_keys(base, cfg, dedup=False)
+    if persist:
+        # the counts join below evaluates its input twice (counts branch +
+        # probe branch); without this persist each branch re-runs the whole
+        # key-gen DAG — 16x md5 minhash included. Scoped: unpersisted as soon
+        # as the kwf cache is materialized (fused_block_and_score runs its
+        # range-boundary jobs eagerly, so by the time it returns the joined
+        # cache holds the data and this one is dead weight).
+        keys_slim = keys_slim.persist()
     # key cardinalities aggregated over the SLIM (rid, key) frame BEFORE the
     # feature join (r6): the key-gen/feature join below is 1:1 per rid
     # (pair_stage_features emits exactly one row per base record), so the
@@ -179,9 +188,15 @@ def run_linkage(
     # full feature payload, and fused_block_and_score no longer needs its own
     # counts join + internal persist: ONE cache (this frame) feeds the whole
     # pair stage instead of two near-identical wide caches (guide §2.3).
+    # min_count=2: a _kn = 1 key cannot emit a pair, and under selective
+    # blocking ~78% of key rows are singletons — every downstream consumer
+    # (tier filters, key log, boundaries) either filters _kn >= 2 itself or
+    # only looks at _kn > hot, so dropping them AT THE COUNTS JOIN yields
+    # identical pairs/drops while the feature join and the kwf cache shrink
+    # ~4.6x (guide §2.3: shuffle fewer rows, earlier).
     from bela_spark.operators.pairs import keyed_with_counts
 
-    keys = keyed_with_counts(keys)
+    keys = keyed_with_counts(keys_slim, min_count=2)
     # one feature row PER RECORD: pin the join strategy so AQE can never
     # broadcast-convert it — on repetitive corpora the compressed shuffle
     # bytes under-read the true relation size by ~20x, and a broadcast of a
@@ -209,6 +224,12 @@ def run_linkage(
         persist=persist,
         counts_attached=True,
     )
+    if persist:
+        # kwf was materialized by fused_block_and_score's eager range-boundary
+        # jobs; the slim key cache has served its purpose (one key-gen pass
+        # feeding both counts branches) and would otherwise sit for the whole
+        # run
+        keys_slim.unpersist()
     pairs = scored_by_key.select("id1", "id2", "key")
 
     if batched_scoring:
