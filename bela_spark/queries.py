@@ -136,6 +136,13 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays it; the salt grid never changes the pair set."""
     from bela_spark.operators.pairs import candidate_pairs_with_drops
 
+    # persist=False, MEASURED (r6 interleaved A/B, 3/3 rounds): at default
+    # thresholds no mega tier engages, so the keyed frame's ~7 consumers are
+    # cheap parallel recomputes that overlap inside their jobs, while a
+    # persist serializes the DAG behind a cache-build barrier (7.4s vs 9.4s
+    # mean flagship). er_chained_pairs is the opposite case — its lowered
+    # thresholds trigger eager boundary jobs per consumer, and there the
+    # internal persist wins 3/3 (see that query).
     keys = _all_keys(spark, sf_dir)
     pairs, _ = candidate_pairs_with_drops(keys, CFG, id_col="doc_id", persist=False)
     return pairs.select("id1", "id2", "key").distinct()
@@ -167,7 +174,13 @@ def er_chained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct("tokens").alias("tokens"),
     )
     kwf = keys.join(recs, "doc_id")
-    scored, _ = fused_block_and_score(kwf, cfg, id_col="doc_id", persist=False)
+    # persist=True, MEASURED (r6 interleaved A/B, 3/3 rounds: 9.5s vs 13.5s
+    # mean): the lowered thresholds send most keys to the mega tier, whose
+    # two-phase rank runs EAGER boundary jobs — each a separate job that
+    # would re-execute the minhash key-gen + record join without the
+    # internal persist. Contrast er_candidate_pairs, where no mega tier
+    # engages and the persist barrier measured slower.
+    scored, _ = fused_block_and_score(kwf, cfg, id_col="doc_id", persist=True)
     return scored.select("id1", "id2", "key").distinct()
 
 
@@ -339,7 +352,9 @@ def er_idf_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _records(spark, sf_dir).select(
         "doc_id", "norm", F.array_distinct("tokens").alias("tokens")
     )
-    tw = weight_tokens(r, "doc_id", "tokens")
+    # persisted: tw feeds BOTH sides of the pair join below — one weighting
+    # pass (explode + dfreq + join + re-assemble) instead of two per eval
+    tw = weight_tokens(r, "doc_id", "tokens").persist()
     # hint("merge") on top of the repartition pins (r6): AQE broadcast-
     # converts these joins otherwise (the pair side compresses under the
     # 64 MB threshold), and a broadcast join erases the pinned build-side
