@@ -33,7 +33,20 @@ maps. All linear in corpus token volume; nothing here touches pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+# Vocabulary-size bound for the broadcast-weighting fast path of
+# weight_tokens_packed: at or below this many distinct tokens the (token,
+# weight) table is collected once (~16 B/entry as two int64 numpy arrays — the
+# default bound is ~128 MB of driver/broadcast memory) and the weighting runs
+# as a NARROW Arrow kernel; above it the legacy join DAG runs unchanged, so
+# the path is scale-adaptive, not a local tune (same gating discipline as
+# BELA_CC_LOCAL_FINISH_MAX_EDGES). 0 disables the fast path entirely.
+IDF_BROADCAST_MAX_TOKENS = int(
+    os.environ.get("BELA_IDF_BROADCAST_MAX_TOKENS", str(8_000_000))
+)
 
 
 def _exploded_weights(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
@@ -136,7 +149,25 @@ def weight_tokens_packed(
     unweighted 66s; packed restores the gap to ~1.3x).
 
     6 weight bits always suffice: w <= floor(log2 N) + 1 <= 63 for any count
-    N that fits in a signed long. Packed values stay < 2^37."""
+    N that fits in a signed long. Packed values stay < 2^37.
+
+    Execution (r6): when the measured vocabulary fits
+    IDF_BROADCAST_MAX_TOKENS, the weighting runs as a NARROW Arrow kernel
+    over a broadcast (token -> weight) table instead of the
+    explode -> dfreq -> join-back -> groupBy -> merge-join DAG: the legacy
+    shape shuffles every exploded (id, token) row twice (once keyed on the
+    token for the weight join, once keyed on the id for re-assembly, both
+    carrying the 64-char id) and then sort-merge-joins two row-proportional
+    frames, where the kernel's only wide work is ONE column-pruned dfreq
+    aggregate over bare int tokens. Values are bit-identical (same integer
+    weights, same packing, ascending sort == array_sort); above the bound —
+    or for non-integer token types — the legacy DAG runs unchanged, so the
+    fast path is scale-adaptive (guide §2.2/§4.2). Note the gate makes this
+    function run two small jobs (count + bounded collect) at DAG-construction
+    time; both compute work the legacy plan needed anyway."""
+    fast = _weight_tokens_packed_broadcast(df, id_col, token_col, ws_col)
+    if fast is not None:
+        return fast
     tw = (
         _exploded_weights(df, id_col, token_col)
         .groupBy(id_col)
@@ -156,6 +187,120 @@ def weight_tokens_packed(
     # reasons as weight_tokens above (no size-estimated broadcast, no
     # unbounded hash build)
     return df.drop(token_col).join(tw.hint("merge"), id_col)
+
+
+def _weight_tokens_packed_broadcast(
+    df: DataFrame, id_col: str, token_col: str, ws_col: str
+) -> DataFrame | None:
+    """The broadcast-vocabulary fast path of weight_tokens_packed, or None
+    when it does not apply (fast path disabled, non-integral token elements,
+    or vocabulary above the bound — callers then run the legacy join DAG).
+
+    Shape: one map-side-combined dfreq aggregate over bare int tokens (the
+    only exchange), a bounded collect of the (token, df) table, then a narrow
+    mapInPandas that replaces `token_col` with the sorted packed array and
+    appends `ws_col`, passing every other column through untouched. The
+    weight math is exact integer arithmetic: bit_length via searchsorted
+    against powers of two, never a float log."""
+    if IDF_BROADCAST_MAX_TOKENS <= 0:
+        return None
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, ShortType, ByteType
+
+    tok_field = df.schema[token_col]
+    if not isinstance(tok_field.dataType, ArrayType) or not isinstance(
+        tok_field.dataType.elementType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        return None
+
+    import numpy as np
+
+    # one job for N (the legacy plan computes it as a scalar subquery), one
+    # column-pruned dfreq aggregate + bounded collect (the legacy plan runs
+    # the identical aggregate inside its DAG). limit(bound+1) caps the
+    # collect: a vocabulary past the bound falls back before materializing
+    # more than one excess row on the driver.
+    n_docs = df.count()
+    dfreq = (
+        df.select(F.explode(token_col).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count("*").alias("_df"))
+    )
+    rows = dfreq.limit(IDF_BROADCAST_MAX_TOKENS + 1).toPandas()
+    if len(rows) > IDF_BROADCAST_MAX_TOKENS:
+        return None
+    vocab = rows["_t"].to_numpy(dtype=np.int64)
+    dfs = rows["_df"].to_numpy(dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    pows = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+    # len(bin(x)) - 2 == x.bit_length() == searchsorted(pows, x, 'right')
+    n_bits = int(np.searchsorted(pows, n_docs, side="right"))
+    df_bits = np.searchsorted(pows, dfs, side="right")
+    weights = np.maximum(np.int64(1), np.int64(n_bits) - df_bits + 1)
+    packed_vocab = vocab * 64 + weights
+    bc = df.sparkSession.sparkContext.broadcast((vocab, packed_vocab, weights))
+
+    cols = [c for c in df.columns if c != token_col]
+    out_schema = df.select(
+        *cols,
+        F.expr("array(cast(0 as long))").alias(token_col),
+        F.lit(0).cast("long").alias(ws_col),
+    ).schema
+
+    def weigh(batches):
+        import pandas as pd
+
+        v, pv, w = bc.value
+        empty = np.empty(0, dtype=np.int64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            # per-row int64 views; a row whose Arrow array carries null
+            # elements (object/float dtype) is cleaned like the legacy DAG
+            # (explode drops null tokens) — the common all-int case stays a
+            # zero-copy asarray per row
+            arrs = []
+            for t in b[token_col]:
+                if t is None or len(t) == 0:
+                    arrs.append(empty)
+                    continue
+                a = np.asarray(t)
+                if a.dtype.kind not in "iu":
+                    a = np.asarray(
+                        [x for x in t if x is not None and x == x], dtype=np.int64
+                    )
+                arrs.append(a.astype(np.int64, copy=False))
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(b))
+            offs = np.zeros(len(b) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            if offs[-1] == 0:
+                flat_packed = np.empty(0, dtype=np.int64)
+                ws = np.zeros(len(b), dtype=np.int64)
+            else:
+                flat = np.concatenate(arrs)
+                idx = np.searchsorted(v, flat)
+                # every token of every document is in the vocabulary by
+                # construction (dfreq is aggregated over this very frame)
+                flat_packed = pv[idx]
+                flat_w = w[idx]
+                # ascending sort within each row == array_sort (packing is
+                # strictly monotonic in the token, values are distinct)
+                row_ids = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+                ord2 = np.lexsort((flat_packed, row_ids))
+                flat_packed = flat_packed[ord2]
+                ws = np.zeros(len(b), dtype=np.int64)
+                nz = lens > 0
+                ws[nz] = np.add.reduceat(flat_w, offs[:-1][nz])
+            packed_lists = [
+                flat_packed[offs[i] : offs[i + 1]] for i in range(len(b))
+            ]
+            out = pd.DataFrame({c: b[c] for c in cols})
+            out[token_col] = packed_lists
+            out[ws_col] = ws
+            yield out
+
+    return df.mapInPandas(weigh, schema=out_schema)
 
 
 def weighted_jaccard_cols(
