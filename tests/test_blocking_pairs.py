@@ -265,3 +265,23 @@ def test_cap_and_rank_match_python_reference(spark):
             ):
                 exp_rank[(key, rid)] = idx + 1
         assert got_rank == exp_rank
+
+
+def test_keyed_with_counts_min_count_equals_post_filter(spark):
+    """min_count=2 (the run_linkage pair-stage shape) must equal annotating
+    everything and filtering _kn >= 2 afterwards — the build-side filter can
+    never drop a row of a multi-member key."""
+    from bela_spark.operators.pairs import keyed_with_counts
+
+    rows = [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k3"), ("e", "k3"), ("f", "k3")]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+    direct = {
+        (r["rid"], r["key"], r["_kn"])
+        for r in keyed_with_counts(df, min_count=2).collect()
+    }
+    post = {
+        (r["rid"], r["key"], r["_kn"])
+        for r in keyed_with_counts(df).filter(F.col("_kn") >= 2).collect()
+    }
+    assert direct == post
+    assert {k for _, k, _n in direct} == {"k1", "k3"}

@@ -194,3 +194,67 @@ def test_weight_formula_anchoring():
     assert math.isclose(
         _py_weight(n, 1) - _py_weight(n, 1024), 10, abs_tol=0
     )
+
+
+def test_packed_broadcast_fast_path_matches_legacy_dag(spark):
+    """The r6 broadcast-vocabulary kernel must be row-for-row identical to
+    the legacy explode/join/groupBy DAG, including the edge rows: null token
+    array and empty array keep (empty packed array, ws=0); null ELEMENTS are
+    ignored like the explode path ignores them."""
+    from bela_spark.operators import idf
+
+    rows = [
+        ("r1", [5, 3, 900_000_001], "x"),
+        ("r2", [3], "y"),
+        ("r3", [], "z"),
+        ("r4", None, "w"),
+        ("r5", [7, None, 5], "v"),
+    ]
+    df = spark.createDataFrame(rows, "rid string, tokens array<int>, norm string")
+
+    fast = idf.weight_tokens_packed(df, "rid", "tokens")
+    assert "MapInPandas" in fast._jdf.queryExecution().executedPlan().toString(), (
+        "tiny vocabulary must take the broadcast kernel"
+    )
+    saved = idf.IDF_BROADCAST_MAX_TOKENS
+    idf.IDF_BROADCAST_MAX_TOKENS = 0
+    try:
+        legacy = idf.weight_tokens_packed(df, "rid", "tokens")
+    finally:
+        idf.IDF_BROADCAST_MAX_TOKENS = saved
+
+    def snap(d):
+        return {
+            r["rid"]: (list(r["tokens"]), r["ws"], r["norm"]) for r in d.collect()
+        }
+
+    got_fast, got_legacy = snap(fast), snap(legacy)
+    assert got_fast == got_legacy
+    assert got_fast["r3"] == ([], 0, "z")
+    assert got_fast["r4"] == ([], 0, "w")
+    # r2's token 3 appears in 2 of 5 docs; packing = token*64 + w
+    n_bits, df_bits = len(bin(5)) - 2, len(bin(2)) - 2
+    w3 = max(1, n_bits - df_bits + 1)
+    assert got_fast["r2"] == ([3 * 64 + w3], w3, "y")
+
+
+def test_packed_broadcast_fast_path_gates_on_vocab_bound(spark):
+    """Vocabulary above BELA_IDF_BROADCAST_MAX_TOKENS must fall back to the
+    legacy DAG (no Python node in the plan) with identical values."""
+    from bela_spark.operators import idf
+
+    rows = [(f"r{i}", [i * 3 + j for j in range(3)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid string, tokens array<int>")
+    saved = idf.IDF_BROADCAST_MAX_TOKENS
+    idf.IDF_BROADCAST_MAX_TOKENS = 5  # 30 distinct tokens > 5
+    try:
+        out = idf.weight_tokens_packed(df, "rid", "tokens")
+        assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+        got = {r["rid"]: (list(r["tokens"]), r["ws"]) for r in out.collect()}
+    finally:
+        idf.IDF_BROADCAST_MAX_TOKENS = saved
+    ref = {
+        r["rid"]: (list(r["tokens"]), r["ws"])
+        for r in idf.weight_tokens_packed(df, "rid", "tokens").collect()
+    }
+    assert got == ref
