@@ -64,6 +64,12 @@ def keyed_with_counts(
     ).drop("_kwc_key")
 
 
+# target rows per range chunk in ranked_in_key: small enough that a chunk's
+# local sort is a trivial task, big enough that the per-row chunk expression
+# stays short on small frames (see range_boundaries)
+RANGE_CHUNK_TARGET_ROWS = 10_000
+
+
 def _lex_ge(cols: Sequence[str], vals: Sequence) -> Column:
     """Lexicographic (cols...) >= (vals...) as one boolean expression —
     type-agnostic tuple comparison (works for any orderable column types, no
@@ -75,7 +81,11 @@ def _lex_ge(cols: Sequence[str], vals: Sequence) -> Column:
 
 
 def range_boundaries(
-    df: DataFrame, tuple_cols: Sequence[str], n: int, oversample: int = 32
+    df: DataFrame,
+    tuple_cols: Sequence[str],
+    n: int,
+    oversample: int = 32,
+    chunk_target_rows: int = RANGE_CHUNK_TARGET_ROWS,
 ) -> list[tuple]:
     """<= n-1 split tuples over `tuple_cols`, collected once on the driver —
     the explicit, data-derived form of what RangePartitioner samples.
@@ -89,6 +99,15 @@ def range_boundaries(
     callers with an expensive upstream DAG should persist it (run_linkage
     does). Tuples containing nulls are excluded from boundary candidacy."""
     total = df.count()
+    # scale n to the measured frame (r6): boundaries cost per-ROW eval in the
+    # chunk expression (one lexicographic compare chain per boundary), so a
+    # 200k-row frame carrying 63 boundaries paid ~3x the chunk CPU it needed.
+    # Target ~chunk_target_rows rows per chunk, capped by the caller's
+    # n: big frames keep their full boundary count (per-task bound unchanged
+    # at scale), small frames get proportionally fewer — per-task rows stay
+    # <= max(target, total/n) either way, so no whole-key straggler can
+    # reappear.
+    n = min(n, max(1, total // max(1, chunk_target_rows)))
     if total == 0 or n <= 1:
         return []
     m = 1 << 40
@@ -153,7 +172,13 @@ def ranked_in_key(
     chunked = df.withColumn("_chunk", chunk)
     w_local = W.partitionBy("_chunk", key_col).orderBy(*order_cols)
     local = chunked.withColumn("_lrn", F.row_number().over(w_local))
-    sizes = chunked.groupBy("_chunk", key_col).agg(F.count("*").alias("_csz"))
+    # sizes off the RANKED frame, not a second `chunked` branch (r6):
+    # row_number preserves row count, so the per-(chunk, key) counts are
+    # identical — but this branch now shares `local`'s exchange (ReusedExchange;
+    # the window output is already hash-partitioned on the grouping columns,
+    # so the aggregate needs no exchange of its own) instead of re-evaluating
+    # the chunk expression over the whole input a second time.
+    sizes = local.groupBy("_chunk", key_col).agg(F.count("*").alias("_csz"))
     w_off = (
         W.partitionBy(key_col).orderBy("_chunk").rowsBetween(W.unboundedPreceding, -1)
     )

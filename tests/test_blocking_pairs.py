@@ -195,11 +195,16 @@ def test_range_boundaries_partitioning_invariant(spark):
     a = spark.createDataFrame(rows, ["rid", "key", "norm"])
     b = spark.createDataFrame(rows, ["rid", "key", "norm"]).repartition(17, "rid")
     cols = ["key", "norm", "rid"]
-    ba = range_boundaries(a, cols, 8)
-    bb = range_boundaries(b, cols, 8)
+    ba = range_boundaries(a, cols, 8, chunk_target_rows=200)
+    bb = range_boundaries(b, cols, 8, chunk_target_rows=200)
     assert ba == bb
     assert 1 <= len(ba) <= 7
     assert ba == sorted(ba)
+    # the r6 data-scaled cap: a 3000-row frame at the default 10k-row chunk
+    # target needs no boundaries at all (one bounded chunk), and the cap
+    # never raises the caller's n
+    assert range_boundaries(a, cols, 8) == []
+    assert len(range_boundaries(a, cols, 8, chunk_target_rows=1000)) <= 2
 
 
 def test_ranked_in_key_null_order_col(spark):
