@@ -11,11 +11,26 @@ Arrow UDF feature.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# Member floor below which a hot key skips the S^2 salt grid and pairs in the
+# plain equi-join (r6): a key bounded at n members emits at most C(n, 2)
+# pairs in ONE task — at the default 2048 that is ~2M pair-emits, a
+# fine-grained unit of work at any executor size — while the grid pays S^2
+# row replication of BOTH sides for every salted key. Keys above the floor
+# (only possible when mega_key_threshold exceeds it) still take the grid, so
+# the skew protection is intact where a single key could actually swamp a
+# task; the gate is a pure execution-strategy choice (the grid provably
+# emits the identical pair set) and the key_log strategy labels, which
+# depend on the config thresholds alone, do not move. Env-tunable like the
+# other scale bounds (0 restores unconditional salting above
+# hot_key_threshold).
+SALT_MIN_KEY_MEMBERS = int(os.environ.get("BELA_SALT_MIN_KEY_MEMBERS", "2048"))
 
 from bela_spark.config import LinkageConfig
 from bela_spark.functions.strings import jaro_winkler_udf, lev_sim
@@ -284,7 +299,12 @@ def fused_block_and_score(
     Key-cardinality strategy (all logged in key_log, never silent):
       n <= hot_key_threshold           plain equi-join (quadratic, exact)
       hot < n <= mega_key_threshold    salted S^2 grid join (quadratic, exact,
-                                       skew shattered across S^2 tasks)
+                                       skew shattered across S^2 tasks) — but
+                                       only for keys above SALT_MIN_KEY_MEMBERS;
+                                       smaller "hot" keys are bounded enough
+                                       for one plain-join task and skip the
+                                       grid's S^2 row replication (identical
+                                       pair set; labels unchanged)
       n > mega_key_threshold           sorted-neighborhood chaining: each
                                        member pairs with its next chain_window
                                        neighbors (linear). An uninformative
@@ -363,12 +383,19 @@ def fused_block_and_score(
     )
 
     # _kn = 1 keys (the vast majority under selective blocking) cannot emit a
-    # pair — drop them before the join so they never shuffle
-    cold = keyed.filter((F.col("_kn") >= 2) & (F.col("_kn") <= cfg.hot_key_threshold))
+    # pair — drop them before the join so they never shuffle.
+    # salt_floor: keys at or below it pair in the plain equi-join even when
+    # the config labels them hot (see SALT_MIN_KEY_MEMBERS — with the default
+    # thresholds mega < floor, so the grid tier vanishes from the plan
+    # entirely and its S^2 replication with it)
+    salt_floor = max(cfg.hot_key_threshold, SALT_MIN_KEY_MEMBERS)
+    cold_hi = min(salt_floor, cfg.mega_key_threshold)
+    cold = keyed.filter((F.col("_kn") >= 2) & (F.col("_kn") <= cold_hi))
     hot = keyed.filter(
-        (F.col("_kn") > cfg.hot_key_threshold) & (F.col("_kn") <= cfg.mega_key_threshold)
+        (F.col("_kn") > salt_floor) & (F.col("_kn") <= cfg.mega_key_threshold)
     )
     mega = keyed.filter(F.col("_kn") > cfg.mega_key_threshold)
+    salt_tier_live = salt_floor < cfg.mega_key_threshold
 
     # the tier self-joins carry row-proportional sides: hint("merge") pins
     # the sort-merge shape the scaling work measured (SCALING.json) AND
@@ -382,24 +409,25 @@ def fused_block_and_score(
         .filter(F.col("id1") < F.col("id2"))
     )
 
-    s = cfg.salt_buckets
-    salted = hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(s)))
-    left = salted.withColumn(
-        "_s2", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    ).withColumnRenamed("_salt", "_s1")
-    right = salted.withColumn(
-        "_s1", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    ).withColumnRenamed("_salt", "_s2")
-    hot_pairs = (
-        side(left, 1, extra=("_s1", "_s2"))
-        .repartition(n_pair_parts, "key", "_s1", "_s2")
-        .join(
-            side(right, 2, extra=("_s1", "_s2")).hint("merge"),
-            ["key", "_s1", "_s2"],
+    if salt_tier_live:
+        s = cfg.salt_buckets
+        salted = hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(s)))
+        left = salted.withColumn(
+            "_s2", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        ).withColumnRenamed("_salt", "_s1")
+        right = salted.withColumn(
+            "_s1", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        ).withColumnRenamed("_salt", "_s2")
+        hot_pairs = (
+            side(left, 1, extra=("_s1", "_s2"))
+            .repartition(n_pair_parts, "key", "_s1", "_s2")
+            .join(
+                side(right, 2, extra=("_s1", "_s2")).hint("merge"),
+                ["key", "_s1", "_s2"],
+            )
+            .filter(F.col("id1") < F.col("id2"))
+            .drop("_s1", "_s2")
         )
-        .filter(F.col("id1") < F.col("id2"))
-        .drop("_s1", "_s2")
-    )
 
     # chaining (sorted-neighborhood, Hernandez-Stolfo): member at chain rank
     # r pairs with ranks r+1..r+w. The chain is ordered by CONTENT (norm,
@@ -433,7 +461,10 @@ def fused_block_and_score(
         .drop("_cn2")
     )
 
-    pair_feat = cold_pairs.unionByName(hot_pairs).unionByName(mega_pairs)
+    pair_feat = cold_pairs
+    if salt_tier_live:
+        pair_feat = pair_feat.unionByName(hot_pairs)
+    pair_feat = pair_feat.unionByName(mega_pairs)
     scored = _score_exprs(pair_feat, cfg, use_cosine)
     # content-ordered chaining no longer guarantees id1 < id2 — canonicalize
     # inside the final projection (every feature is symmetric in the two

@@ -30,13 +30,25 @@ def base(spark):
     df.unpersist()
 
 
-def test_salted_equals_plain_fused(spark, base):
-    """Forcing keys through the salt grid must yield the identical pair set."""
+def test_salted_equals_plain_fused(spark, base, monkeypatch):
+    """Forcing keys through the salt grid must yield the identical pair set.
+    SALT_MIN_KEY_MEMBERS is zeroed so the fixture's small keys actually take
+    the grid (the r6 floor would otherwise route them through the plain
+    join, which is the very equivalence this test exists to prove)."""
+    import bela_spark.operators.scoring as scoring_mod
+
+    monkeypatch.setattr(scoring_mod, "SALT_MIN_KEY_MEMBERS", 0)
     plain = LinkageConfig(hot_key_threshold=10**9)
     salted = LinkageConfig(hot_key_threshold=2, mega_key_threshold=10**9, salt_buckets=4)
     a, _ = fused_block_and_score(_kwf(base, plain), plain, persist=False)
     b, _ = fused_block_and_score(_kwf(base, salted), salted, persist=False)
     assert _pairs(a) == _pairs(b)
+    # and with the default floor the same config pairs identically through
+    # the plain join (the gate is execution-only)
+    c, _ = fused_block_and_score(_kwf(base, salted), salted, persist=False)
+    monkeypatch.undo()
+    d, _ = fused_block_and_score(_kwf(base, salted), salted, persist=False)
+    assert _pairs(c) == _pairs(d)
 
 
 def test_chain_content_order_finds_groups(spark):
