@@ -516,8 +516,12 @@ def er_threshold_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast axes, no recompute per cell."""
     scored = _scored_pairs(spark, sf_dir).select("f_lev", "f_jac")
     axis = [(t,) for t in (0.0, 0.2, 0.4)]
-    t_md = spark.createDataFrame(axis, "t_lev double")
-    t_el = spark.createDataFrame(axis, "t_jac double")
+    # coalesce(1) on the literal axes: createDataFrame spreads 3 rows over
+    # defaultParallelism partitions, and the axis CartesianProduct then
+    # schedules left*right TASKS (32x32 = 1024 near-empty tasks measured as
+    # ~9s of pure scheduling, r6) to produce 9 rows
+    t_md = spark.createDataFrame(axis, "t_lev double").coalesce(1)
+    t_el = spark.createDataFrame(axis, "t_jac double").coalesce(1)
     grid = F.broadcast(t_md.crossJoin(t_el))
     return (
         scored.crossJoin(grid)
@@ -544,9 +548,11 @@ def er_threshold_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", (F.col("e1") == F.col("e2")).cast("int"))
     )
     axis = [(t,) for t in (0.0, 0.2, 0.4)]
+    # coalesce(1): see er_threshold_grid_2d — the axis CartesianProduct
+    # otherwise schedules 32x32 near-empty tasks for its 9 rows
     grid = F.broadcast(
-        spark.createDataFrame(axis, "t_lev double").crossJoin(
-            spark.createDataFrame(axis, "t_jac double")
+        spark.createDataFrame(axis, "t_lev double").coalesce(1).crossJoin(
+            spark.createDataFrame(axis, "t_jac double").coalesce(1)
         )
     )
     ok = (F.col("f_lev") >= F.col("t_lev")) & (F.col("f_jac") >= F.col("t_jac"))
