@@ -23,6 +23,7 @@ hot/cold branch so the expensive key-generation DAG runs exactly once.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -68,6 +69,21 @@ def keyed_with_counts(
 # local sort is a trivial task, big enough that the per-row chunk expression
 # stays short on small frames (see range_boundaries)
 RANGE_CHUNK_TARGET_ROWS = 10_000
+
+# Pair-eligible-key-count bound for broadcasting the filtered counts table in
+# run_linkage's counts join (r6): at or below this many multi-member keys the
+# (key, _kn) table is explicitly broadcast — the probe side then flows NARROW
+# into a broadcast-hash join instead of shuffling every key row (measured:
+# 225 MB / 2.45M rows of probe exchange saved per pass at 600k records; the
+# interleaved A/B read ~2s on the pair segment, 3/3 rounds). The decision is
+# made from a MEASURED count (never a size estimate — the r5 compressed-size
+# broadcast failure mode cannot recur), and above the bound the pinned
+# shuffle-hash join runs unchanged. 2M keys ~ 120-200 MB of broadcast hash
+# table, comfortably inside the session's 24g driver; env-tunable like the
+# other scale bounds, 0 disables the broadcast path.
+COUNTS_BROADCAST_MAX_KEYS = int(
+    os.environ.get("BELA_COUNTS_BROADCAST_MAX_KEYS", str(2_000_000))
+)
 
 
 def _lex_ge(cols: Sequence[str], vals: Sequence) -> Column:

@@ -194,9 +194,32 @@ def run_linkage(
     # only looks at _kn > hot, so dropping them AT THE COUNTS JOIN yields
     # identical pairs/drops while the feature join and the kwf cache shrink
     # ~4.6x (guide §2.3: shuffle fewer rows, earlier).
-    from bela_spark.operators.pairs import keyed_with_counts
+    from bela_spark.operators.pairs import COUNTS_BROADCAST_MAX_KEYS, keyed_with_counts
 
-    keys = keyed_with_counts(keys_slim, min_count=2)
+    multi = None
+    if persist and COUNTS_BROADCAST_MAX_KEYS > 0:
+        # measured-count broadcast gate (see COUNTS_BROADCAST_MAX_KEYS): the
+        # filtered counts table is tiny under selective blocking (~140k keys
+        # at 600k records), and broadcasting it lets the 2.45M-row probe side
+        # flow narrow into the join instead of shuffling. The count is exact
+        # (an aggregate over the cached slim keys, never a size estimate);
+        # above the bound the pinned shuffle-hash join runs as before.
+        multi = (
+            keys_slim.groupBy("key")
+            .agg(F.count("*").alias("_kn"))
+            .filter(F.col("_kn") >= 2)
+            .persist()
+        )
+        cnt = multi.withColumnRenamed("key", "_kwc_key")
+        if multi.count() <= COUNTS_BROADCAST_MAX_KEYS:
+            cnt = F.broadcast(cnt)
+        else:
+            cnt = cnt.hint("shuffle_hash")
+        keys = keys_slim.join(
+            cnt, F.col("key").eqNullSafe(F.col("_kwc_key"))
+        ).drop("_kwc_key")
+    else:
+        keys = keyed_with_counts(keys_slim, min_count=2)
     # one feature row PER RECORD: pin the join strategy so AQE can never
     # broadcast-convert it — on repetitive corpora the compressed shuffle
     # bytes under-read the true relation size by ~20x, and a broadcast of a
@@ -230,6 +253,8 @@ def run_linkage(
         # feeding both counts branches) and would otherwise sit for the whole
         # run
         keys_slim.unpersist()
+        if multi is not None:
+            multi.unpersist()
     pairs = scored_by_key.select("id1", "id2", "key")
 
     if batched_scoring:
